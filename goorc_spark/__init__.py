@@ -1,0 +1,27 @@
+"""goorc_spark — a PySpark-native per-column lightweight-compression engine.
+
+Re-expresses the encoding repertoire of the reference Go ORC library
+(PatrickHuang888/goorc) as vectorized numpy kernels driven from Spark
+``mapInPandas`` stages, with a per-stripe codec auto-selector the reference
+lacks. Nothing here is a translation of the reference's Go code: the wire
+formats are implemented from the public ORC v1 specification, pinned by the
+reference's published unit-test vectors (ported as pytest fixtures in
+``tests/``).
+
+Layout
+------
+``goorc_spark.codecs``      pure-numpy codec kernels (RLEv2, byte/bool RLE,
+                            varint/zigzag, bitpack, dictionary, FSST, floats,
+                            timestamps, zlib chunk container)
+``goorc_spark.stats``       per-chunk column statistics (feed the selector)
+``goorc_spark.selector``    codec auto-selection rules
+``goorc_spark.stripe``      stripe assembly: pandas batch <-> blob + metadata
+``goorc_spark.engine``      Spark pipeline: partitioning, salting, encode,
+                            decode, lineage/resume
+``goorc_spark.transcripts`` deterministic transcripts table (synthetic +
+                            derived-from-events with a DuckDB oracle twin)
+``goorc_spark.pipeline_ops`` training-data ops: dedup, similarity, text
+                            analysis, multimodal stubs
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,145 @@
+"""Scalar/vector primitives: zigzag, LEB128 varints, bit-width tables.
+
+Wire formats follow the public ORC v1 spec (RLEv2 bit-width encoding table,
+zigzag, base-128 varints). Behavior pinned by the reference's unit vectors:
+/root/reference/orc/encoding/encoding_test.go:550-563 (zigzag extremes) and
+the width tables at /root/reference/orc/encoding/package.go:163-261.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Aligned bit widths usable for packed literals (ORC "closest aligned fixed
+# bits"): what the reference writer emits for DIRECT/PATCHED/DELTA literals.
+ALIGNED_WIDTHS = np.array([1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64], dtype=np.int64)
+
+# Widths expressible by the 5-bit header code (ORC spec): 1..24 directly,
+# then 26,28,30,32,40,48,56,64.
+_CODE_TO_WIDTH = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+_WIDTH_TO_CODE = {w: c for c, w in enumerate(_CODE_TO_WIDTH)}
+
+
+def zigzag(v: np.ndarray) -> np.ndarray:
+    """Map signed int64 -> unsigned uint64: 0,-1,1,-2,... -> 0,1,2,3,..."""
+    v = v.astype(np.int64, copy=False)
+    return ((v << np.int64(1)) ^ (v >> np.int64(63))).astype(np.uint64)
+
+
+def unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64, copy=False)
+    return ((u >> np.uint64(1)) ^ (-(u & np.uint64(1))).astype(np.uint64)).astype(
+        np.int64
+    )
+
+
+def bits_required(u: np.ndarray) -> np.ndarray:
+    """Bit length of each uint64 value (0 -> 1: a value always occupies >=1 bit)."""
+    u = np.asarray(u, dtype=np.uint64)
+    # np.log2 is unsafe at 64-bit edge; build from byte view.
+    b = u.view(np.uint8).reshape(-1, 8)  # little-endian bytes
+    if not u.flags.c_contiguous:
+        b = np.ascontiguousarray(u).view(np.uint8).reshape(-1, 8)
+    # highest nonzero byte index
+    nz = b != 0
+    byte_idx = np.where(nz.any(axis=1), 7 - np.argmax(nz[:, ::-1], axis=1), 0)
+    top = b[np.arange(len(u)), byte_idx]
+    top_bits = np.frombuffer(
+        bytes(int(x).bit_length() for x in range(256)), dtype=np.uint8
+    )[top].astype(np.int64)
+    out = byte_idx * 8 + top_bits
+    return np.maximum(out, 1)
+
+
+# Precompute the per-byte bit_length lookup once.
+_BIT_LEN_TABLE = np.array([int(x).bit_length() for x in range(256)], dtype=np.int64)
+
+
+def bits_required_fast(u: np.ndarray) -> np.ndarray:
+    u = np.ascontiguousarray(np.asarray(u, dtype=np.uint64))
+    b = u.view(np.uint8).reshape(-1, 8)
+    nz = b != 0
+    has = nz.any(axis=1)
+    byte_idx = np.where(has, 7 - np.argmax(nz[:, ::-1], axis=1), 0)
+    top = b[np.arange(len(u)), byte_idx]
+    out = byte_idx * 8 + _BIT_LEN_TABLE[top]
+    return np.maximum(out, 1)
+
+
+def aligned_width(w: int) -> int:
+    """Smallest aligned width >= w (the reference's getAlignedWidth)."""
+    return int(ALIGNED_WIDTHS[np.searchsorted(ALIGNED_WIDTHS, max(int(w), 1))])
+
+
+def closest_width(w: int) -> int:
+    """Smallest header-expressible width >= w (1..24,26,...,64)."""
+    w = max(int(w), 1)
+    for cand in _CODE_TO_WIDTH:
+        if cand >= w:
+            return cand
+    return 64
+
+
+def width_to_code(w: int) -> int:
+    return _WIDTH_TO_CODE[int(w)]
+
+
+def code_to_width(c: int, delta: bool = False) -> int:
+    """Decode a 5-bit width code. In DELTA headers code 0 means fixed delta
+    (0-bit literals); elsewhere code 0 means width 1."""
+    c = int(c)
+    if delta and c == 0:
+        return 0
+    return _CODE_TO_WIDTH[c]
+
+
+def encode_uvarints(values: np.ndarray) -> bytes:
+    """LEB128 unsigned varints for a vector of uint64, vectorized.
+
+    Used for the decimal mantissa stream and delta base values.
+    """
+    u = np.ascontiguousarray(np.asarray(values, dtype=np.uint64))
+    n = len(u)
+    if n == 0:
+        return b""
+    nbytes = (bits_required_fast(u) + 6) // 7  # groups of 7 bits
+    maxb = int(nbytes.max())
+    # byte j of value i = (u >> 7j) & 0x7f, with continuation bit if j < nbytes-1
+    shifts = (np.arange(maxb, dtype=np.uint64) * np.uint64(7))[None, :]
+    chunks = ((u[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
+    cont = np.arange(maxb)[None, :] < (nbytes[:, None] - 1)
+    chunks |= cont.astype(np.uint8) << 7
+    mask = np.arange(maxb)[None, :] < nbytes[:, None]
+    return chunks[mask].tobytes()
+
+
+def decode_uvarints(data: bytes | memoryview, count: int, offset: int = 0):
+    """Decode `count` LEB128 varints; returns (uint64 array, new offset)."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if count == 0:
+        return np.empty(0, dtype=np.uint64), offset
+    # find varint terminators (bytes with high bit clear) from `offset`
+    tail = b[offset:]
+    ends = np.flatnonzero((tail & 0x80) == 0)
+    if len(ends) < count:
+        raise ValueError("varint stream truncated")
+    ends = ends[:count]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    out = np.zeros(count, dtype=np.uint64)
+    maxlen = int((ends - starts + 1).max())
+    for j in range(maxlen):
+        pos = starts + j
+        active = pos <= ends
+        vals = tail[pos[active]].astype(np.uint64) & np.uint64(0x7F)
+        out[active] |= vals << np.uint64(7 * j)
+    return out, offset + int(ends[-1]) + 1
+
+
+def encode_svarints(values: np.ndarray) -> bytes:
+    """Signed varints = zigzag + LEB128 (Go binary.PutVarint convention)."""
+    return encode_uvarints(zigzag(np.asarray(values, dtype=np.int64)))
+
+
+def decode_svarints(data, count: int, offset: int = 0):
+    u, off = decode_uvarints(data, count, offset)
+    return unzigzag(u), off

@@ -1,0 +1,331 @@
+"""ORC RLEv2 integer codec: SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA,
+with the greedy per-run sub-encoding chooser.
+
+Implemented from the public ORC v1 run-length-encoding-v2 specification and
+pinned by the reference's published byte-exact unit vectors (ported in
+tests/test_rlev2.py; sources: /root/reference/orc/encoding/encoding_test.go:
+244-537 — delta primes, direct deadbeef, patched-base 20-value w/ outlier,
+short-repeat 5x10000). Encoding is fully vectorized numpy per <=512-value
+run block; the Python loop is per block only.
+
+Chooser (mirrors the greedy order the reference uses — head-repeat, then
+monotonic delta, then patched-base for skewed signed data, else direct):
+  1. leading run of >=3 equal values: SHORT_REPEAT if <=10 else fixed DELTA
+  2. monotonic prefix: DELTA (fixed-width literals of |diff|)
+  3. otherwise whole block is literals: PATCHED_BASE when signed and the
+     bit-width histogram shows a skewed range (p100 width > p90 width),
+     else DIRECT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from goorc_spark.codecs import bitpack
+from goorc_spark.codecs.primitives import (
+    bits_required_fast,
+    closest_width,
+    code_to_width,
+    aligned_width,
+    decode_svarints,
+    decode_uvarints,
+    encode_svarints,
+    encode_uvarints,
+    unzigzag,
+    width_to_code,
+    zigzag,
+)
+
+MAX_RUN = 512
+MIN_REPEAT = 3
+MAX_SHORT_REPEAT = 10
+MIN_DELTA_RUN = 5  # shorter monotonic prefixes go to direct/patched literals
+
+_SHORT_REPEAT = 0
+_DIRECT = 1
+_PATCHED_BASE = 2
+_DELTA = 3
+
+
+# ---------------------------------------------------------------- encode --
+
+
+def encode(values, signed: bool = True) -> bytes:
+    """Encode an integer vector to RLEv2 bytes."""
+    if signed:
+        v = np.asarray(values, dtype=np.int64)
+    else:
+        v = np.asarray(values, dtype=np.uint64)
+    out = bytearray()
+    n = len(v)
+    pos = 0
+    while pos < n:
+        block = v[pos : pos + MAX_RUN]
+        pos += _encode_block(out, block, signed)
+    return bytes(out)
+
+
+def _head_run_len(block) -> int:
+    neq = block != block[0]
+    if not neq.any():
+        return len(block)
+    return int(np.argmax(neq))
+
+
+def _encode_block(out: bytearray, block, signed: bool) -> int:
+    n = len(block)
+    if n == 1:
+        _write_short_repeat_single(out, block[:1], signed)
+        return 1
+
+    r = _head_run_len(block)
+    if r >= MIN_REPEAT:
+        if r <= MAX_SHORT_REPEAT:
+            _write_short_repeat(out, block[0], r, signed)
+            return r
+        _write_fixed_delta(out, block[0], 0, r, signed)
+        return r
+
+    # monotonic prefix (deltas in int64; guard huge unsigned magnitudes)
+    use_delta = True
+    if not signed and n and int(block.max()) > (1 << 62):
+        use_delta = False
+    if use_delta:
+        d = block.astype(np.int64)[1:] - block.astype(np.int64)[:-1]
+        d0 = int(d[0])
+        if d0 != 0:
+            if d0 > 0:
+                bad = np.flatnonzero(d < 0)
+            else:
+                bad = np.flatnonzero(d > 0)
+            m = (int(bad[0]) if len(bad) else len(d)) + 1  # values in prefix
+            if m >= MIN_DELTA_RUN or (m == n and m >= MIN_REPEAT):
+                deltas = d[: m - 1]
+                if bool((deltas == d0).all()):
+                    _write_fixed_delta(out, block[0], d0, m, signed)
+                else:
+                    _write_var_delta(out, block[0], deltas, signed)
+                return m
+
+    # literal block
+    if signed:
+        if _try_patched_base(out, block):
+            return n
+    _write_direct(out, block, signed)
+    return n
+
+
+def _write_short_repeat_single(out, block, signed):
+    # a lone trailing value: short-repeat needs count>=3, so emit DIRECT of 1
+    _write_direct(out, block, signed)
+
+
+def _write_short_repeat(out, value, count, signed):
+    u = int(zigzag(np.array([value]))[0]) if signed else int(value)
+    nbytes = max((u.bit_length() + 7) // 8, 1)
+    out.append((_SHORT_REPEAT << 6) | ((nbytes - 1) << 3) | (count - MIN_REPEAT))
+    out += u.to_bytes(nbytes, "big")
+
+
+def _write_fixed_delta(out, base, delta, count, signed):
+    # DELTA header with width code 0 (no literals)
+    h = (_DELTA << 6) | (0 << 1) | ((count - 1) >> 8)
+    out.append(h)
+    out.append((count - 1) & 0xFF)
+    if signed:
+        out += encode_svarints(np.array([base], dtype=np.int64))
+    else:
+        out += encode_uvarints(np.array([base], dtype=np.uint64))
+    out += encode_svarints(np.array([delta], dtype=np.int64))
+
+
+def _write_var_delta(out, base, deltas, signed):
+    count = len(deltas) + 1
+    lits = np.abs(deltas[1:]).astype(np.uint64)
+    w = aligned_width(int(bits_required_fast(lits).max())) if len(lits) else 2
+    if w == 1:
+        w = 2  # width code 0 is reserved for fixed delta
+    h = (_DELTA << 6) | (width_to_code(w) << 1) | ((count - 1) >> 8)
+    out.append(h)
+    out.append((count - 1) & 0xFF)
+    if signed:
+        out += encode_svarints(np.array([base], dtype=np.int64))
+    else:
+        out += encode_uvarints(np.array([base], dtype=np.uint64))
+    out += encode_svarints(np.array([int(deltas[0])], dtype=np.int64))
+    out += bitpack.pack(lits, w)
+
+
+def _write_direct(out, block, signed):
+    u = zigzag(block) if signed else block.astype(np.uint64)
+    w = aligned_width(int(bits_required_fast(u).max()))
+    n = len(block)
+    h = (_DIRECT << 6) | (width_to_code(w) << 1) | ((n - 1) >> 8)
+    out.append(h)
+    out.append((n - 1) & 0xFF)
+    out += bitpack.pack(u, w)
+
+
+def _try_patched_base(out: bytearray, block) -> bool:
+    n = len(block)
+    base = int(block.min())
+    hi = int(block.max())
+    if hi - base >= (1 << 62):  # range too wide for FoR arithmetic
+        return False
+    diff = (block.astype(np.int64) - base).astype(np.uint64)
+    bits = bits_required_fast(diff)
+    srt = np.sort(bits)
+    w90 = aligned_width(int(srt[max(int(np.ceil(0.9 * n)) - 1, 0)]))
+    w100 = int(srt[-1])
+    if w100 <= w90:
+        return False  # no outliers worth patching
+    patch_idx = np.flatnonzero(bits > w90)
+    patch_vals = (diff[patch_idx] >> np.uint64(w90)).astype(np.uint64)
+    pw = closest_width(int(bits_required_fast(patch_vals).max()))
+    # gaps, chaining gaps > 255 with (255, 0) filler entries
+    gaps_raw = np.diff(patch_idx, prepend=0).astype(np.int64)
+    gaps_raw[0] = int(patch_idx[0])
+    gaps: list[int] = []
+    patches: list[int] = []
+    for g, p in zip(gaps_raw.tolist(), patch_vals.tolist()):
+        while g > 255:
+            gaps.append(255)
+            patches.append(0)
+            g -= 255
+        gaps.append(g)
+        patches.append(p)
+    if len(gaps) > 31:
+        return False
+    pgw = max(int(bits_required_fast(np.array([max(gaps)], dtype=np.uint64))[0]), 1)
+    mag = abs(base)
+    bw = max((mag.bit_length() + 1 + 7) // 8, 1)
+    if bw > 8:
+        return False
+    # header
+    h1 = (_PATCHED_BASE << 6) | (width_to_code(w90) << 1) | ((n - 1) >> 8)
+    out.append(h1)
+    out.append((n - 1) & 0xFF)
+    out.append(((bw - 1) << 5) | width_to_code(pw))
+    out.append(((pgw - 1) << 5) | len(gaps))
+    # base: sign-magnitude big-endian
+    base_bytes = bytearray(mag.to_bytes(bw, "big"))
+    if base < 0:
+        base_bytes[0] |= 0x80
+    out += base_bytes
+    # data at w90 (truncated low bits)
+    mask = np.uint64((1 << w90) - 1) if w90 < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    out += bitpack.pack(diff & mask, w90)
+    # patch blob at exactly pgw+pw bits per entry
+    entries = (np.array(gaps, dtype=np.uint64) << np.uint64(pw)) | np.array(
+        patches, dtype=np.uint64
+    )
+    out += bitpack.pack(entries, pgw + pw)
+    return True
+
+
+# ---------------------------------------------------------------- decode --
+
+
+def decode(data, count: int, signed: bool = True) -> np.ndarray:
+    """Decode `count` values from RLEv2 bytes."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(count, dtype=np.int64 if signed else np.uint64)
+    got = 0
+    off = 0
+    while got < count:
+        enc = buf[off] >> 6
+        if enc == _SHORT_REPEAT:
+            off, got = _dec_short_repeat(buf, off, out, got, signed)
+        elif enc == _DIRECT:
+            off, got = _dec_direct(buf, off, out, got, signed)
+        elif enc == _PATCHED_BASE:
+            off, got = _dec_patched(buf, off, out, got)
+        else:
+            off, got = _dec_delta(buf, off, out, got, signed)
+    if got != count:
+        raise ValueError(f"decoded {got} values, expected {count}")
+    return out
+
+
+def _dec_short_repeat(buf, off, out, got, signed):
+    h = int(buf[off])
+    nbytes = ((h >> 3) & 0x7) + 1
+    rep = (h & 0x7) + MIN_REPEAT
+    u = int.from_bytes(buf[off + 1 : off + 1 + nbytes].tobytes(), "big")
+    v = int(unzigzag(np.array([u], dtype=np.uint64))[0]) if signed else u
+    out[got : got + rep] = v
+    return off + 1 + nbytes, got + rep
+
+
+def _dec_direct(buf, off, out, got, signed):
+    h = int(buf[off])
+    w = code_to_width((h >> 1) & 0x1F)
+    n = (((h & 1) << 8) | int(buf[off + 1])) + 1
+    nbytes = bitpack.packed_size(n, w)
+    u = bitpack.unpack(buf[off + 2 : off + 2 + nbytes], w, n)
+    out[got : got + n] = unzigzag(u) if signed else u
+    return off + 2 + nbytes, got + n
+
+
+def _dec_patched(buf, off, out, got):
+    h = int(buf[off])
+    w = code_to_width((h >> 1) & 0x1F)
+    n = (((h & 1) << 8) | int(buf[off + 1])) + 1
+    b3 = int(buf[off + 2])
+    bw = ((b3 >> 5) & 0x7) + 1
+    pw = code_to_width(b3 & 0x1F)
+    b4 = int(buf[off + 3])
+    pgw = ((b4 >> 5) & 0x7) + 1
+    pll = b4 & 0x1F
+    p = off + 4
+    raw = int.from_bytes(buf[p : p + bw].tobytes(), "big")
+    base = -(raw & ~(0x80 << (8 * (bw - 1)))) if raw >> (8 * bw - 1) else raw
+    p += bw
+    nbytes = bitpack.packed_size(n, w)
+    diff = bitpack.unpack(buf[p : p + nbytes], w, n)
+    p += nbytes
+    ebytes = bitpack.packed_size(pll, pgw + pw)
+    entries = bitpack.unpack(buf[p : p + ebytes], pgw + pw, pll)
+    p += ebytes
+    idx = 0
+    pmask = np.uint64((1 << pw) - 1)
+    for e in entries.tolist():
+        gap = e >> pw
+        patch = e & int(pmask)
+        idx += gap
+        if patch:
+            diff[idx] |= np.uint64(patch) << np.uint64(w)
+    out[got : got + n] = diff.astype(np.int64) + base
+    return p, got + n
+
+
+def _dec_delta(buf, off, out, got, signed):
+    h = int(buf[off])
+    w = code_to_width((h >> 1) & 0x1F, delta=True)
+    n = (((h & 1) << 8) | int(buf[off + 1])) + 1
+    p = off + 2
+    if signed:
+        basev, p = decode_svarints(buf, 1, p)
+        base = int(basev[0])
+    else:
+        basev, p = decode_uvarints(buf, 1, p)
+        base = int(basev[0])
+    db, p = decode_svarints(buf, 1, p)
+    delta_base = int(db[0])
+    if base >= 1 << 63:  # huge unsigned base: wrap through int64 arithmetic
+        base -= 1 << 64
+    if w == 0:  # fixed delta
+        vals = base + delta_base * np.arange(n, dtype=np.int64)
+        out[got : got + n] = vals
+        return p, got + n
+    nlits = n - 2
+    nbytes = bitpack.packed_size(nlits, w)
+    lits = bitpack.unpack(buf[p : p + nbytes], w, nlits).astype(np.int64)
+    p += nbytes
+    sign = -1 if delta_base < 0 else 1
+    steps = np.empty(n, dtype=np.int64)
+    steps[0] = base
+    steps[1] = delta_base
+    steps[2:] = sign * lits
+    out[got : got + n] = np.cumsum(steps)
+    return p, got + n

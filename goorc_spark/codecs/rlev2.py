@@ -50,8 +50,16 @@ _DELTA = 3
 # ---------------------------------------------------------------- encode --
 
 
-def encode(values, signed: bool = True) -> bytes:
-    """Encode an integer vector to RLEv2 bytes."""
+SUB_NAMES = ("short_repeat", "direct", "patched_base", "delta")
+
+
+def encode(values, signed: bool = True, info: dict | None = None) -> bytes:
+    """Encode an integer vector to RLEv2 bytes.
+
+    If `info` is a dict, per-sub-encoding run counts are accumulated into it
+    (keys: short_repeat/direct/patched_base/delta) — surfaced in stripe
+    metadata so the codec auto-selection is observable.
+    """
     if signed:
         v = np.asarray(values, dtype=np.int64)
     else:
@@ -60,8 +68,12 @@ def encode(values, signed: bool = True) -> bytes:
     n = len(v)
     pos = 0
     while pos < n:
+        mark = len(out)
         block = v[pos : pos + MAX_RUN]
         pos += _encode_block(out, block, signed)
+        if info is not None and len(out) > mark:
+            sub = SUB_NAMES[out[mark] >> 6]
+            info[sub] = info.get(sub, 0) + 1
     return bytes(out)
 
 

@@ -1,0 +1,285 @@
+"""Spark pipeline: partition-parallel stripe encode/decode with skew salting
+and lineage-based exact resume.
+
+Architecture (SURVEY.md §3.1 re-architected Spark-first): the reference's
+single-threaded writer row-loop (/root/reference/orc/writer.go:67 "cannot
+used concurrently") becomes
+    df.repartition(N, key, salt).sortWithinPartitions(key, order)
+      .mapInPandas(encode_stripes)
+— all parallelism comes from Spark partitioning; each task emits one stripe
+row (blob + metadata + lineage) per ~stripe_bytes of input. Everything
+relational stays in Catalyst (shuffle, sort, AQE); all encoding runs inside
+Arrow-batched pandas UDFs — no per-row Python anywhere.
+
+Skew: mega-conversations (>salt_threshold rows) are split into salt buckets
+by floor(order_col / bucket_rows) — deterministic, no window function, and
+intra-bucket order is preserved so decode + sort restores the exact source
+order (bit-identical round-trip).
+
+Resume: Spark hash-partitioning is deterministic (pmod(murmur3(cols), n)),
+so lineage records completed partition ids; a resumed run recomputes each
+row's partition id with F.hash and anti-filters completed ones. Task-commit
+atomicity of the parquet sink guarantees lineage rows only exist for fully
+encoded partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from goorc_spark import stripe as stripelib
+from goorc_spark.codecs import chunk
+
+SALT_COL = "__gsalt"
+
+STRIPE_SCHEMA = T.StructType([
+    T.StructField("stripe_id", T.StringType(), False),
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("part_id", T.IntegerType(), False),
+    T.StructField("seq", T.IntegerType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("raw_bytes", T.LongType(), False),
+    T.StructField("enc_bytes", T.LongType(), False),
+    T.StructField("key_min", T.StringType(), True),
+    T.StructField("key_max", T.StringType(), True),
+    T.StructField("encode_ms", T.DoubleType(), False),
+    T.StructField("meta", T.StringType(), False),
+    T.StructField("blob", T.BinaryType(), False),
+])
+
+
+@dataclass
+class EncodeConfig:
+    stripe_bytes: int = 8 * 1024 * 1024   # raw bytes per stripe (256 MB in prod)
+    chunk_size: int = chunk.DEFAULT_CHUNK_SIZE
+    compression: str = chunk.ZLIB
+    partitions: int | None = None          # default: spark.sql.shuffle.partitions
+    key_col: str | None = None             # co-location / lineage key (conv_id)
+    order_cols: tuple = ()                 # stable intra-key order (turn_idx)
+    salt_threshold: int = 500_000          # rows per key before salting kicks in
+    bucket_rows: int = 250_000             # rows per salt bucket
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+
+# ------------------------------------------------------------ schema spec --
+
+_SPARK_TO_KIND = {
+    T.ByteType: "byte", T.ShortType: "short", T.IntegerType: "int",
+    T.LongType: "long", T.BooleanType: "bool", T.FloatType: "float",
+    T.DoubleType: "double", T.StringType: "string", T.BinaryType: "binary",
+    T.DateType: "date", T.TimestampType: "timestamp",
+    T.TimestampNTZType: "timestamp_ntz",
+}
+
+_KIND_TO_SPARK = {
+    "byte": T.ByteType(), "short": T.ShortType(), "int": T.IntegerType(),
+    "long": T.LongType(), "bool": T.BooleanType(), "float": T.FloatType(),
+    "double": T.DoubleType(), "string": T.StringType(), "binary": T.BinaryType(),
+    "date": T.DateType(), "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+}
+
+
+def spec_from_schema(schema: T.StructType) -> list[dict]:
+    spec = []
+    for f_ in schema.fields:
+        dt = f_.dataType
+        if isinstance(dt, T.DecimalType):
+            spec.append({"name": f_.name, "kind": "decimal",
+                         "precision": dt.precision, "scale": dt.scale})
+        elif type(dt) in _SPARK_TO_KIND:
+            spec.append({"name": f_.name, "kind": _SPARK_TO_KIND[type(dt)]})
+        else:
+            raise NotImplementedError(f"unsupported Spark type {dt} for {f_.name}")
+    return spec
+
+
+def schema_from_spec(spec: list[dict]) -> T.StructType:
+    fields = []
+    for col in spec:
+        if col["kind"] == "decimal":
+            dt: T.DataType = T.DecimalType(col["precision"], col["scale"])
+        else:
+            dt = _KIND_TO_SPARK[col["kind"]]
+        fields.append(T.StructField(col["name"], dt, True))
+    return T.StructType(fields)
+
+
+# ----------------------------------------------------------------- encode --
+
+
+def _estimate_raw_bytes(pdf: pd.DataFrame, spec: list[dict]) -> int:
+    total = 0
+    for col in spec:
+        s = pdf[col["name"]]
+        k = col["kind"]
+        if k in ("string", "binary"):
+            lens = s.dropna().map(len)
+            total += int(lens.sum()) + 4 * len(s)
+        elif k in ("timestamp", "timestamp_ntz", "long", "double", "decimal", "date"):
+            total += 8 * len(s)
+        else:
+            total += 4 * len(s)
+    return total
+
+
+def _make_encoder(spec: list[dict], cfg: EncodeConfig):
+    key = cfg.key_col
+
+    def encode_stripes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        pending: list[pd.DataFrame] = []
+        pending_bytes = 0
+        seq = 0
+
+        def flush():
+            nonlocal pending, pending_bytes, seq
+            if not pending:
+                return None
+            t0 = time.monotonic()
+            pdf = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+            pending, pending_bytes = [], 0
+            blob, meta = stripelib.encode_stripe(
+                pdf, spec, compression=cfg.compression, chunk_size=cfg.chunk_size)
+            ms = (time.monotonic() - t0) * 1000
+            kmin = str(pdf[key].iloc[0]) if key and len(pdf) else None
+            kmax = str(pdf[key].iloc[-1]) if key and len(pdf) else None
+            row = pd.DataFrame({
+                "stripe_id": [f"{cfg.run_id}-p{part_id:05d}-s{seq:05d}"],
+                "run_id": [cfg.run_id],
+                "part_id": [part_id],
+                "seq": [seq],
+                "n_rows": [len(pdf)],
+                "raw_bytes": [_estimate_raw_bytes(pdf, spec)],
+                "enc_bytes": [len(blob)],
+                "key_min": [kmin],
+                "key_max": [kmax],
+                "encode_ms": [ms],
+                "meta": [json.dumps(meta)],
+                "blob": [blob],
+            })
+            seq += 1
+            return row
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if SALT_COL in pdf.columns:
+                pdf = pdf.drop(columns=[SALT_COL])
+            pending.append(pdf)
+            pending_bytes += _estimate_raw_bytes(pdf, spec)
+            if pending_bytes >= cfg.stripe_bytes:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return encode_stripes
+
+
+def _with_salt(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
+    """Split mega-keys into deterministic buckets of bucket_rows using the
+    (monotone-per-key) first order column — no window, one cheap agg."""
+    key = cfg.key_col
+    if not key or not cfg.order_cols:
+        return df.withColumn(SALT_COL, F.lit(0))
+    counts = df.groupBy(key).count().filter(F.col("count") > cfg.salt_threshold)
+    skewed = [r[0] for r in counts.select(key).collect()]  # mega-keys only: tiny
+    if not skewed:
+        return df.withColumn(SALT_COL, F.lit(0))
+    order0 = cfg.order_cols[0]
+    return df.withColumn(
+        SALT_COL,
+        F.when(
+            F.col(key).isin(skewed),
+            F.floor(F.col(order0).cast("long") / F.lit(cfg.bucket_rows)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def partition_count(df: DataFrame, cfg: EncodeConfig) -> int:
+    if cfg.partitions:
+        return cfg.partitions
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def encode_df(df: DataFrame, cfg: EncodeConfig | None = None,
+              pending_parts: list[int] | None = None) -> DataFrame:
+    """Encode a DataFrame into a stripe table (one row per stripe)."""
+    cfg = cfg or EncodeConfig()
+    spec = spec_from_schema(df.schema)
+    n = partition_count(df, cfg)
+    if cfg.key_col:
+        df = _with_salt(df, cfg)
+        if pending_parts is not None:
+            pid = F.pmod(F.hash(F.col(cfg.key_col), F.col(SALT_COL)), F.lit(n))
+            df = df.filter(pid.isin(pending_parts))
+        df = df.repartition(n, F.col(cfg.key_col), F.col(SALT_COL))
+        if cfg.order_cols:
+            df = df.sortWithinPartitions(cfg.key_col, *cfg.order_cols)
+    else:
+        df = df.repartition(n)
+    return df.mapInPandas(_make_encoder(spec, cfg), schema=STRIPE_SCHEMA)
+
+
+# ----------------------------------------------------------------- decode --
+
+
+def decode_df(stripes: DataFrame, spec: list[dict]) -> DataFrame:
+    """Decode a stripe table back into rows (order: stripe order; sort by
+    your key columns afterwards for the canonical view)."""
+    out_schema = schema_from_spec(spec)
+
+    def decode_stripes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob, meta_json in zip(pdf["blob"], pdf["meta"]):
+                meta = json.loads(meta_json)
+                yield stripelib.decode_stripe(bytes(blob), meta)
+
+    return stripes.select("meta", "blob").mapInPandas(decode_stripes, schema=out_schema)
+
+
+# ---------------------------------------------------------------- lineage --
+
+
+def lineage_view(stripes: DataFrame) -> DataFrame:
+    """Per-stripe lineage/metrics (everything except the blob) — the analog
+    of the reference's file footer + row index, kept as a queryable table."""
+    return stripes.select(
+        "stripe_id", "run_id", "part_id", "seq", "n_rows", "raw_bytes",
+        "enc_bytes", "key_min", "key_max", "encode_ms",
+        (F.col("raw_bytes") / F.col("enc_bytes")).alias("compression_ratio"),
+    )
+
+
+def write_encoded(stripes: DataFrame, path: str, mode: str = "append") -> None:
+    stripes.write.mode(mode).parquet(path)
+
+
+def resume_encode(spark: SparkSession, df: DataFrame, path: str,
+                  cfg: EncodeConfig) -> DataFrame:
+    """Encode only partitions not yet present at `path` (exact resume after
+    a failed/killed run), append them, and return the full stripe table."""
+    n = partition_count(df, cfg)
+    try:
+        existing = spark.read.parquet(path)
+        done = [r[0] for r in existing.select("part_id").distinct().collect()]
+    except Exception:
+        existing, done = None, []
+    pending = [p for p in range(n) if p not in done]
+    if pending:
+        stripes = encode_df(df, cfg, pending_parts=pending)
+        write_encoded(stripes, path, mode="append")
+    return spark.read.parquet(path)

@@ -1,0 +1,150 @@
+"""Deduplication operators for the documents table.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle on a digest (never on
+the full text — shuffle bytes stay tiny); MinHash-LSH banding turns the
+quadratic candidate problem into an equi-join on band keys; the shingle
+explode uses distinct-per-doc shingles to bound fan-out; all joins are
+key-equi joins that AQE can re-plan for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per exact text; group on the md5 digest so the
+    shuffle carries 16 bytes per row, not the document."""
+    return (
+        docs.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(col, n: int):
+    npos = F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), npos), lambda i: col.substr(i, F.lit(n)))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the verification stage after LSH
+    candidate generation; on its own it is quadratic in shared shingles)."""
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle"),
+        F.size(_shingles(F.col("text"), n)).alias("n_sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 12, shingle: int = 6) -> DataFrame:
+    """k-permutation MinHash via seeded md5 — md5(seed || shingle) is a
+    deterministic 'permutation' reproducible in any SQL engine."""
+    text = F.col("text")
+    sh = _shingles(text, shingle)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, j=j: F.md5(
+            F.encode(F.concat(F.lit(f"{j}:"), s), "utf-8"))))
+        for j in range(k)
+    ])
+    return docs.select("doc_id", sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
+                      shingle: int = 6) -> DataFrame:
+    """LSH banding: same (band_id, band_hash) => candidate pair. One explode
+    of `bands` rows per doc, then an equi-join on the band key — the
+    scale-out path for near-dup at 10^9+ docs."""
+    rows = k // bands
+    sigs = minhash_signatures(docs, k=k, shingle=shingle)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.encode(F.concat_ws("|", *[
+                    F.col("minhash")[b * rows + r] for r in range(rows)
+                ]), "utf-8")).alias("bh"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens. Bit arithmetic over thousands
+    of token hashes is the genuinely non-SQL op here, so it runs as an
+    Arrow-batched pandas UDF (vectorized numpy, no per-row Python loops over
+    tokens x bits)."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.split()
+            if not toks:
+                continue
+            # vectorized: hash each token to 64 bits via python hash of md5
+            import hashlib
+
+            hs = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
+                dtype=np.uint64,
+            )
+            b_mat = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            votes = b_mat.astype(np.int64).sum(axis=0) * 2 - len(hs)
+            bits_ = (votes > 0).astype(np.uint64)
+            out[i] = (bits_ << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+        return pd.Series(out.astype(np.int64))
+
+    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash64"))
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Brute force O(n^2) — correct
+    baseline; the LSH-bucketed variant in similarity.py is the scale path."""
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    e = embeddings.select("vec_id", "embedding",
+                          norm(F.col("embedding")).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark side — schema, partitioning, Arrow batch shapes, UDF signatures —
+is real and tested. The actual media decoding is STUBBED: the container has
+no image/audio libraries, so `decode_image` raises NotImplementedError
+unless `fake=True`, in which case a clearly-marked deterministic fake
+(byte-histogram "features", md5-derived "dimensions") exercises the exact
+same plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),   # image/audio/video
+    T.StructField("payload", T.BinaryType(), True),        # opaque bytes
+    T.StructField("meta_width", T.IntegerType(), True),
+    T.StructField("meta_height", T.IntegerType(), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("digest", T.StringType(), False),
+    T.StructField("features", T.ArrayType(T.FloatType()), False),
+])
+
+
+def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    rows = pd.DataFrame({
+        "media_id": np.arange(n, dtype=np.int64),
+        "media_type": [("image", "audio", "video")[i % 3] for i in range(n)],
+        "payload": [rng.integers(0, 256, 256 + i, dtype=np.uint8).tobytes()
+                    for i in range(n)],
+        "meta_width": pd.array([64 + i % 32 for i in range(n)], dtype="Int32"),
+        "meta_height": pd.array([48 + i % 16 for i in range(n)], dtype="Int32"),
+    })
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real decode would go through PIL/libvips — not in this container."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "environment; use extract_features(..., fake=True) for the "
+        "deterministic plumbing-test fake")
+
+
+def extract_features(media: DataFrame, fake: bool = True, batch_hint: int = 16) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow delivers the binary column as a pandas Series of bytes; the UDF
+    processes a whole batch per call (never per-row Python dispatch from
+    Spark). At scale, repartition upstream so each task holds
+    batch-of-images x decode cost, not one giant partition.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_image(b"")  # raises: real decode unavailable
+            payloads = pdf["payload"]
+            feats, digests, sizes = [], [], []
+            for raw in payloads:
+                b = bytes(raw) if raw is not None else b""
+                digests.append(hashlib.md5(b).hexdigest())
+                sizes.append(len(b))
+                # FAKE feature: 8-bin byte histogram, normalized (deterministic)
+                hist = np.bincount(np.frombuffer(b, dtype=np.uint8) >> 5,
+                                   minlength=8).astype(np.float32)
+                feats.append(hist / max(len(b), 1))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": pd.array(sizes, dtype="int32"),
+                "digest": digests,
+                "features": feats,
+            })
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' plumbing: slice each payload into fixed windows and
+    explode to one row per frame — the shape video pipelines need. Pure
+    built-ins (no Python): byte slicing via substring on binary."""
+    n_frames = F.greatest(F.floor(F.length("payload") / every_n_bytes), F.lit(1))
+    return media.select(
+        "media_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames.cast("int") - 1),
+                lambda i: F.substring(F.col("payload"), i * every_n_bytes + 1,
+                                      every_n_bytes),
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    )

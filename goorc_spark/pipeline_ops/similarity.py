@@ -1,0 +1,98 @@
+"""Similarity search over the embeddings table (vec_id, embedding
+array<float>, label).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline. The
+  dot product stays JVM-side (zip_with + aggregate fold, whole-stage
+  codegen); double accumulation left-to-right makes it bit-reproducible in
+  any engine that folds sequentially.
+- `lsh_ann_topk`: the scale path — sign-of-dot-product hyperplane buckets
+  (planes = deterministic anchor vectors taken from the data itself, so the
+  plan is pure SQL, broadcastable, and oracle-reproducible); candidates
+  searched within the query's bucket only.
+
+At 100 TB: anchors/queries are broadcast (no shuffle of the big side);
+bucketing is a narrow map; only the per-bucket top-k aggregates shuffle —
+k rows per bucket, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(x):
+    return F.sqrt(_dot(x, x))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine to the embedding of `query_vec_id`
+    (tie-broken by vec_id for determinism)."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id) \
+                  .select(F.col("embedding").alias("qe"))
+    e = embeddings.filter(F.col("vec_id") != query_vec_id)
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(_dot(F.col("embedding"), F.col("qe"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def hyperplane_buckets(embeddings: DataFrame, anchor_ids=(1, 2, 3, 4)) -> DataFrame:
+    """LSH bucket id per vector: sign bits of dot products against anchor
+    vectors drawn deterministically from the data (vec_id in anchor_ids)."""
+    anchors = embeddings.filter(F.col("vec_id").isin(list(anchor_ids))) \
+        .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("avec"))
+    joined = embeddings.crossJoin(F.broadcast(anchors))
+    bits = joined.groupBy("vec_id").agg(
+        F.sum(
+            F.when(_dot(F.col("embedding"), F.col("avec")) >= 0,
+                   F.pow(F.lit(2.0), F.col("aid") - 1)).otherwise(0.0)
+        ).cast("int").alias("bucket")
+    )
+    return embeddings.join(bits, "vec_id")
+
+
+def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+                 anchor_ids=(1, 2, 3, 4)) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's hyperplane
+    bucket are scored. Recall < 1 by design; the exactness claim is only
+    'same result as the SQL oracle computing the same algorithm'."""
+    b = hyperplane_buckets(embeddings, anchor_ids)
+    qb = b.filter(F.col("vec_id") == query_vec_id) \
+          .select(F.col("bucket").alias("qbucket"),
+                  F.col("embedding").alias("qe"))
+    cand = b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")) \
+            .filter(F.col("vec_id") != query_vec_id)
+    scored = cand.select(
+        "vec_id", "bucket",
+        F.round(_dot(F.col("embedding"), F.col("qe"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """For each label, the k most-similar same-label pairs — a bounded
+    self-join (per-label) + window top-k; the pattern for near-dup mining
+    inside pre-bucketed groups."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    pairs = a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id"))).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+                6).alias("cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cosine"), "vec_a", "vec_b")
+    return pairs.withColumn("rk", F.row_number().over(w)) \
+                .filter(F.col("rk") <= k).drop("rk")

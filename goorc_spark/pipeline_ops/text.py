@@ -1,0 +1,99 @@
+"""Text analysis operators over the documents table.
+
+Every op is expressed with built-in pyspark.sql.functions only (whole-stage
+codegen, no Python in the hot path) and has an exact DuckDB SQL twin in
+__spark_entry__.oracle_sql for the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic marker-substring language heuristic (n-gram-style):
+# counts of common function-word patterns per language.
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " y "],
+}
+
+_PUNCT = r"[.,!?;:]"
+_STOPWORDS = ["the", "a", "of", "to", "in"]
+
+
+def _count_occurrences(col, needle: str):
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + char stats per document."""
+    t = F.trim(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(t, r"\s+"))).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword quality signals, fully JVM-side."""
+    text = F.col("text")
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, _PUNCT, ""))
+    stop_hits = None
+    for w in _STOPWORDS:
+        c = _count_occurrences(F.concat(F.lit(" "), text, F.lit(" ")), f" {w} ")
+        stop_hits = c if stop_hits is None else (stop_hits + c)
+    tokens = F.when(F.trim(text) == "", 0).otherwise(F.size(F.split(F.trim(text), r"\s+")))
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        tokens.alias("n_tokens"),
+        F.round(punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        (
+            (n >= 50) & (n <= 10000) & (stop_hits / F.greatest(tokens, F.lit(1)) > 0.01)
+        ).alias("quality_pass"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-n-gram language scoring with a deterministic priority
+    tie-break (en > de > fr > es > unknown)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {
+        lang: sum(_count_occurrences(padded, m) for m in markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"])
+               & (scores["en"] >= scores["es"]) & (scores["en"] > 0), "en")
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"])
+              & (scores["de"] > 0), "de")
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] > 0), "fr")
+        .when(scores["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"),
+                       scores["en"].alias("score_en"))
+
+
+def fingerprint(docs: DataFrame, shingle: int = 8) -> DataFrame:
+    """Document fingerprints: whole-text md5 plus a min-shingle-hash (the
+    1-permutation minhash); both exactly reproducible in ANSI SQL."""
+    text = F.col("text")
+    npos = F.greatest(F.length(text) - F.lit(shingle - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.md5(F.encode(text.substr(i, F.lit(shingle)), "utf-8")),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(text, "utf-8")).alias("md5"),
+        F.array_min(shingles).alias("min_shingle_hash"),
+    )

@@ -37,7 +37,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle"),
         F.size(_shingles(F.col("text"), n)).alias("n_sh"),
     )
-    a = sh.alias("a")
+    # spread the quadratic join work: the small side broadcasts anyway, but
+    # the probe side must not collapse to one input split (common shingles
+    # make the joined stream ~|docs|^2 rows — CPU-bound, embarrassingly
+    # parallel in doc_id)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    a = sh.repartition(par, "doc_id").alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -61,11 +66,15 @@ def minhash_signatures(docs: DataFrame, k: int = 12, shingle: int = 6) -> DataFr
     deterministic 'permutation' reproducible in any SQL engine."""
     text = F.col("text")
     sh = _shingles(text, shingle)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, j=j: F.md5(
-            F.encode(F.concat(F.lit(f"{j}:"), s), "utf-8"))))
-        for j in range(k)
-    ])
+
+    def _sig(j: int):
+        # NB: a two-arg lambda in F.transform means (element, index) — the
+        # seed must be captured via a closure factory, not a default arg.
+        prefix = f"{j}:"
+        return F.array_min(F.transform(sh, lambda s: F.md5(
+            F.encode(F.concat(F.lit(prefix), s), "utf-8"))))
+
+    sig = F.array(*[_sig(j) for j in range(k)])
     return docs.select("doc_id", sig.alias("minhash"))
 
 
@@ -102,11 +111,14 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     of token hashes is the genuinely non-SQL op here, so it runs as an
     Arrow-batched pandas UDF (vectorized numpy, no per-row Python loops over
     tokens x bits)."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
-    @F.pandas_udf(T.LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
+    # real (non-string) annotations: pandas_udf needs them resolvable even
+    # under `from __future__ import annotations`
+    def _simhash_impl(texts: "pd.Series") -> "pd.Series":
         out = np.zeros(len(texts), dtype=np.uint64)
         for i, t in enumerate(texts):
             if not t:
@@ -114,9 +126,6 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
             toks = t.split()
             if not toks:
                 continue
-            # vectorized: hash each token to 64 bits via python hash of md5
-            import hashlib
-
             hs = np.frombuffer(
                 b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
                 dtype=np.uint64,
@@ -127,6 +136,8 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
             out[i] = (bits_ << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
         return pd.Series(out.astype(np.int64))
 
+    _simhash_impl.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _simhash = F.pandas_udf(_simhash_impl, T.LongType())
     return docs.select("doc_id", _simhash(F.col("text")).alias("simhash64"))
 
 

@@ -1,0 +1,296 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline numbers:
+- encode/decode throughput (turns/sec) of the stripe engine over the
+  transcripts table (derived from events.parquet at $SPARK_GRAFT_SF_DIR)
+- compression ratio, and size vs the pyarrow-ORC-zlib oracle (the
+  reference's format family; must be <= 1.0x)
+- scaling efficiency between N and 4N cores (same deterministic synthetic
+  input, same partition count — the in-sandbox evidence for the
+  two-cluster-size criterion)
+- per-query seconds for the training-data pipeline operators
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "30000"))  # ~2.5M turns
+
+
+def make_session(cores: int, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"goorc_spark_bench_{cores}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return time.monotonic() - t0, out
+
+
+def encode_job(spark, df, partitions: int):
+    """The headline job: shuffle on (conv_id, salt), sort within partitions,
+    stripe-encode in parallel, aggregate the lineage."""
+    from pyspark.sql import functions as F
+
+    from goorc_spark import engine
+
+    cfg = engine.EncodeConfig(
+        key_col="conv_id", order_cols=("turn_idx",),
+        stripe_bytes=8 * 1024 * 1024, partitions=partitions, run_id="bench",
+        # salt mega-conversations aggressively so no single task serializes
+        # the job (a 400k-turn conv would otherwise pin one core)
+        salt_threshold=50_000, bucket_rows=25_000,
+    )
+    stripes = engine.encode_df(df, cfg)
+    row = stripes.agg(
+        F.sum("n_rows").alias("rows"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("enc_bytes").alias("enc"),
+        F.count("*").alias("stripes"),
+    ).collect()[0]
+    return {"rows": row["rows"], "raw": row["raw"], "enc": row["enc"],
+            "stripes": row["stripes"]}
+
+
+def warm_python_workers(spark, cores: int) -> None:
+    """Spin up one pyspark worker per core and preload the codec imports so
+    worker startup cost stays out of the timed window (workers are reused)."""
+
+    def noop(batches):
+        import goorc_spark.arrow_stripe  # noqa: F401 — preload numpy + codecs
+        yield from batches
+
+    spark.range(cores * 2, numPartitions=cores * 2) \
+        .mapInArrow(noop, "id long").count()
+
+
+def scaling_run(cores: int, partitions: int) -> dict:
+    """Encode the same deterministic synthetic input at a given core count.
+    Runs in a SUBPROCESS so each measurement gets a fresh JVM (the pyspark
+    gateway is otherwise reused across sessions, and its heap/GC state
+    contaminates timings)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--scale-probe", str(cores), str(partitions)],
+        capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"scale probe produced no result: {out.stderr[-2000:]}")
+
+
+def scale_probe(cores: int, partitions: int) -> None:
+    """Subprocess entry: synthesize, cache, warm workers, time the encode."""
+    from goorc_spark import transcripts
+
+    spark = make_session(cores, partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = transcripts.synthesize_spark(spark, n_convs=SCALE_CONVS,
+                                          mega_conv_turns=400_000).cache()
+        n = df.count()  # materialize outside the timed window
+        warm_python_workers(spark, cores)
+        best, agg = timed(lambda: encode_job(spark, df, partitions))
+        sec, agg = timed(lambda: encode_job(spark, df, partitions))
+        best = min(best, sec)
+        print(json.dumps({
+            "cores": cores, "sec": round(best, 3), "turns": n,
+            "turns_per_sec": round(n / best), "stripes": agg["stripes"],
+            "ratio": round(agg["raw"] / agg["enc"], 3)}))
+    finally:
+        spark.stop()
+
+
+_KERNEL_PDF = None
+
+
+def _kernel_init():
+    global _KERNEL_PDF
+    import os
+
+    from goorc_spark import transcripts
+
+    _KERNEL_PDF = transcripts.synthesize_pandas(n_convs=400,
+                                                seed=os.getpid() % 97)
+
+
+def _kernel_work(_):
+    import pyarrow as pa
+
+    from goorc_spark import arrow_stripe, transcripts
+
+    table = pa.Table.from_pandas(_KERNEL_PDF, preserve_index=False)
+    arrow_stripe.encode_stripe_table(table, transcripts.TRANSCRIPTS_SPEC)
+    return len(_KERNEL_PDF)
+
+
+def kernel_scaling(n_small: int, n_big: int) -> dict:
+    """Pure-multiprocessing encode scaling (no JVM sharing the cores)."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (n_small, n_big):
+        with mp.Pool(procs, initializer=_kernel_init) as p:
+            p.map(_kernel_work, range(procs))  # warm
+            t0 = time.monotonic()
+            rows = sum(p.map(_kernel_work, range(procs * 4)))
+            wall = time.monotonic() - t0
+        out[f"procs_{procs}"] = {"turns_per_sec": round(rows / wall)}
+    eff = (out[f"procs_{n_big}"]["turns_per_sec"]
+           / out[f"procs_{n_small}"]["turns_per_sec"]) / (n_big / n_small)
+    out["efficiency"] = round(eff, 3)
+    return out
+
+
+def orc_zlib_oracle_bytes(pdf) -> int:
+    """Size of the same rows written by pyarrow's ORC writer with zlib —
+    stands in for the goorc-written file (same format family,
+    /root/reference/orc/writer.go zlib default)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    buf = io.BytesIO()
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    orc.write_table(table, buf, compression="zlib",
+                    compression_block_size=256 * 1024, stripe_size=64 * 1024 * 1024)
+    return buf.getbuffer().nbytes
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-probe":
+        scale_probe(int(sys.argv[2]), int(sys.argv[3]))
+        return
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # ---- phase 1: scaling evidence (N vs 4N cores, identical input/plan) --
+    n_small = max(CPUS // 4, 2)
+    small = scaling_run(n_small, partitions=4 * CPUS)
+    big = scaling_run(CPUS, partitions=4 * CPUS)
+    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / (CPUS / n_small)
+    extras["scaling"] = {"n": small, "4n": big, "efficiency": round(eff, 3)}
+    queries[f"encode_synth_local{n_small}"] = small["sec"]
+    queries[f"encode_synth_local{CPUS}"] = big["sec"]
+
+    # kernel-level scaling (multiprocessing, no JVM co-located on the same
+    # cores): the contention-free view of the same codec work — on a real
+    # cluster each executor has dedicated cores, so this is the cluster-
+    # relevant number; the Spark-local figure above co-schedules the JVM
+    # shuffle/serde threads AND the python workers on one machine.
+    extras["kernel_scaling"] = kernel_scaling(n_small, CPUS)
+
+    # ---- phase 2: sf-dir bench at full parallelism ------------------------
+    from pyspark.sql import functions as F
+
+    from goorc_spark import engine, transcripts
+    from goorc_spark.pipeline_ops import dedup, similarity, text
+
+    spark = make_session(CPUS, 2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="goorc_bench_")
+    try:
+        df = transcripts.transcripts_from_events(spark, SF_DIR).cache()
+        n_turns = df.count()
+
+        sec, agg = timed(lambda: encode_job(spark, df, 2 * CPUS))
+        queries["encode_transcripts"] = round(sec, 3)
+        extras["encode"] = {
+            "turns": n_turns, "turns_per_sec": round(n_turns / sec),
+            "stripes": agg["stripes"], "raw_bytes": agg["raw"],
+            "enc_bytes": agg["enc"],
+            "compression_ratio": round(agg["raw"] / agg["enc"], 3),
+        }
+
+        # decode throughput (stripes materialized first, untimed)
+        cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                                  stripe_bytes=8 * 1024 * 1024,
+                                  partitions=2 * CPUS, run_id="bench")
+        engine.encode_df(df, cfg).write.mode("overwrite").parquet(f"{tmp}/stripes")
+        stripes = spark.read.parquet(f"{tmp}/stripes")
+        sec, decoded = timed(lambda: engine.decode_df(
+            stripes, transcripts.TRANSCRIPTS_SPEC).count())
+        queries["decode_transcripts"] = round(sec, 3)
+        extras["decode"] = {"turns": decoded,
+                            "turns_per_sec": round(decoded / sec)}
+
+        # size gate vs ORC-zlib oracle on the same rows
+        pdf = df.orderBy("conv_id", "turn_idx").toPandas()
+        oracle = orc_zlib_oracle_bytes(pdf)
+        extras["size_gate"] = {
+            "ours_bytes": agg["enc"], "orc_zlib_bytes": oracle,
+            "ours_over_orc": round(agg["enc"] / oracle, 4),
+        }
+
+        # training-data pipeline operators
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+        docs.count()
+        embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+        embs.count()
+        pipeline = {
+            "dedup_exact": lambda: dedup.exact_dedup(docs).count(),
+            "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs).count(),
+            "dedup_simhash": lambda: dedup.simhash(docs).count(),
+            "text_token_stats": lambda: text.token_stats(docs).count(),
+            "text_quality_score": lambda: text.quality_score(docs).count(),
+            "text_lang_id": lambda: text.lang_id(docs).count(),
+            "ann_cosine_topk": lambda: similarity.cosine_topk(embs).count(),
+            "ann_lsh_topk": lambda: similarity.lsh_ann_topk(embs).count(),
+        }
+        for name, fn in pipeline.items():
+            sec, _ = timed(fn)
+            queries[name] = round(sec, 3)
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out = {
+        "metric": "transcripts stripe-encode throughput (turns/sec) + pipeline ops",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "encode_turns_per_sec": extras["encode"]["turns_per_sec"],
+        "decode_turns_per_sec": extras["decode"]["turns_per_sec"],
+        "compression_ratio": extras["encode"]["compression_ratio"],
+        "size_vs_orc_zlib": extras["size_gate"]["ours_over_orc"],
+        "scaling_efficiency": extras["scaling"]["efficiency"],
+        "kernel_scaling_efficiency": extras["kernel_scaling"]["efficiency"],
+        "detail": extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,398 @@
+"""Arrow-native stripe assembly: pyarrow RecordBatch/Table <-> stripe blob.
+
+Same wire format and metadata as stripe.py (the pandas path) — the two
+interoperate — but extraction is zero-copy from Arrow buffers:
+
+- string contents/lengths come straight from the Arrow utf8 layout (the
+  reference's DIRECT_V2 layout IS Arrow's: contents + lengths,
+  /root/reference/orc/encoding/string.go:18-43);
+- dictionary encoding uses pyarrow.compute.dictionary_encode (C++ hash) +
+  sort_indices, then a vectorized index remap — same sorted-dict semantics
+  as the reference writer (/root/reference/orc/column/string.go:661-689)
+  without its per-row map;
+- ints/timestamps/floats view the validity-compacted values as numpy.
+
+No per-row Python anywhere on the hot path (BASELINE.json input_hint);
+decimal is the one object-typed fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from goorc_spark import selector, stats as stx
+from goorc_spark.codecs import (
+    boolrle,
+    byterle,
+    chunk,
+    dictionary,
+    floats,
+    fsst,
+    rlev2,
+    strings,
+    timestamps,
+)
+from goorc_spark.codecs.primitives import decode_svarints, encode_svarints
+from goorc_spark.stripe import FORMAT_VERSION
+
+_PA_BY_KIND = {
+    "byte": pa.int8(), "short": pa.int16(), "int": pa.int32(),
+    "long": pa.int64(), "bool": pa.bool_(), "float": pa.float32(),
+    "double": pa.float64(), "string": pa.large_string(),
+    "binary": pa.large_binary(), "date": pa.date32(),
+}
+
+INT_CAST = {"short", "int", "long", "date"}
+
+
+def _as_array(x) -> pa.Array:
+    return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+
+def _valid_mask(arr: pa.Array) -> np.ndarray | None:
+    if arr.null_count == 0:
+        return None
+    return np.asarray(pc.is_valid(arr))
+
+
+def _varwidth_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(contents uint8, lengths) from a string/binary array (either offset
+    width) with no nulls — zero-copy from the Arrow buffers."""
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        odt, osz = np.int32, 4
+    else:
+        odt, osz = np.int64, 8
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt,
+                            count=len(arr) + 1, offset=osz * arr.offset)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    lengths = np.diff(offsets.astype(np.int64))
+    return data[offsets[0]:offsets[-1]], lengths.astype(np.uint64)
+
+
+# ----------------------------------------------------------------- encode --
+
+
+def encode_stripe_table(
+    table: pa.Table,
+    spec: list[dict],
+    compression: str = chunk.DEFAULT,
+    chunk_size: int = chunk.DEFAULT_CHUNK_SIZE,
+    policy: str = "balanced",
+) -> tuple[bytes, dict]:
+    n_rows = table.num_rows
+    blob = bytearray()
+    cols_meta = []
+    for col in spec:
+        name, kind = col["name"], col["kind"]
+        arr = _as_array(table.column(name))
+        valid = _valid_mask(arr)
+        has_nulls = valid is not None
+        vals = arr.drop_null() if has_nulls else arr
+        streams, col_meta = _encode_column_arrow(vals, col, policy)
+        if has_nulls:
+            streams.insert(0, ("PRESENT", boolrle.encode(valid)))
+        directory = []
+        for skind, raw in streams:
+            comp = chunk.compress(bytes(raw), compression, chunk_size)
+            directory.append(
+                {"kind": skind, "offset": len(blob), "length": len(comp),
+                 "raw_length": len(raw)}
+            )
+            blob += comp
+        col_meta.update(
+            {"name": name, "kind": kind, "has_nulls": has_nulls,
+             "null_count": int(arr.null_count), "streams": directory}
+        )
+        cols_meta.append(col_meta)
+    meta = {
+        "version": FORMAT_VERSION,
+        "n_rows": n_rows,
+        "compression": compression,
+        "chunk_size": chunk_size,
+        "columns": cols_meta,
+    }
+    return bytes(blob), meta
+
+
+def _np_int64(vals: pa.Array) -> np.ndarray:
+    if len(vals) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.asarray(vals.cast(pa.int64(), safe=False))
+
+
+def _encode_column_arrow(vals: pa.Array, col: dict, policy: str):
+    kind = col["kind"]
+    info: dict = {}
+    if kind in INT_CAST:
+        v = _np_int64(vals)
+        data = rlev2.encode(v, signed=True, info=info)
+        return [("DATA", data)], {"codec": "rlev2", "sub_encodings": info,
+                                  "stats": stx.int_stats(v)}
+    if kind == "byte":
+        v = _np_int64(vals)
+        return [("DATA", byterle.encode(v.astype(np.uint8)))], \
+            {"codec": "byte_rle", "stats": stx.int_stats(v)}
+    if kind == "bool":
+        v = np.asarray(vals, dtype=bool) if len(vals) else np.empty(0, bool)
+        return [("DATA", boolrle.encode(v))], {"codec": "bool_rle",
+                                               "stats": stx.bool_stats(v)}
+    if kind == "float":
+        v = np.asarray(vals, dtype=np.float32)
+        return [("DATA", floats.encode_f32(v))], {"codec": "raw_f32",
+                                                  "stats": stx.float_stats(v)}
+    if kind == "double":
+        v = np.asarray(vals, dtype=np.float64)
+        return [("DATA", floats.encode_f64(v))], {"codec": "raw_f64",
+                                                  "stats": stx.float_stats(v)}
+    if kind in ("timestamp", "timestamp_ntz"):
+        us = _np_int64(vals)
+        sec, nanos = timestamps.micros_to_sec_nanos(us)
+        info2: dict = {}
+        d = rlev2.encode(sec, signed=True, info=info)
+        s = rlev2.encode(timestamps.pack_nanos(nanos), signed=False, info=info2)
+        return [("DATA", d), ("SECONDARY", s)], {
+            "codec": "rlev2",
+            "sub_encodings": {"seconds": info, "nanos": info2},
+            "stats": {"count": int(len(us)),
+                      "min_us": int(us.min()) if len(us) else None,
+                      "max_us": int(us.max()) if len(us) else None},
+        }
+    if kind == "decimal":
+        scale = int(col.get("scale", 0))
+        mant64 = np.array([int(d.scaleb(scale).to_integral_value())
+                           for d in vals.to_pylist()], dtype=np.int64)
+        data = encode_svarints(mant64)
+        sec = rlev2.encode(np.full(len(mant64), scale, dtype=np.int64), signed=True)
+        return [("DATA", data), ("SECONDARY", sec)], {
+            "codec": "varint_decimal",
+            "precision": int(col.get("precision", 18)),
+            "scale": scale,
+            "stats": stx.int_stats(mant64) | {"scale": scale},
+        }
+    if kind == "binary":
+        contents, lengths = _varwidth_parts(vals)
+        return [
+            ("LENGTH", rlev2.encode(lengths, signed=False, info=info)),
+            ("DATA", contents.tobytes()),
+        ], {"codec": "raw", "stats": {"count": len(vals),
+                                      "total_len": int(lengths.sum()) if len(vals) else 0}}
+    if kind == "string":
+        return _encode_string_arrow(vals, policy)
+    raise NotImplementedError(f"column kind {kind!r}")
+
+
+def _string_stats_arrow(vals: pa.Array, lengths: np.ndarray,
+                        dict_arr: pa.DictionaryArray) -> dict:
+    n = len(vals)
+    if n == 0:
+        return {"count": 0, "distinct": 0, "distinct_ratio": 0.0, "avg_len": 0.0}
+    mm = pc.min_max(vals)
+    mn, mx = str(mm["min"].as_py()), str(mm["max"].as_py())
+    distinct = len(dict_arr.dictionary)
+    return {
+        "count": int(n),
+        "distinct": distinct,
+        "distinct_ratio": distinct / n,
+        "avg_len": float(lengths.mean()) if n else 0.0,
+        "max_len": int(lengths.max()) if n else 0,
+        "total_len": int(lengths.sum()),
+        "min": mn[:stx.MAX_STAT_STR],
+        "max": mx[:stx.MAX_STAT_STR],
+        "lower_bound_truncated": len(mn) > stx.MAX_STAT_STR,
+        "upper_bound_truncated": len(mx) > stx.MAX_STAT_STR,
+    }
+
+
+def _encode_string_arrow(vals: pa.Array, policy: str):
+    info: dict = {}
+    if len(vals) == 0:
+        empty = np.empty(0, np.uint64)
+        return [("LENGTH", rlev2.encode(empty, signed=False, info=info)),
+                ("DATA", b"")], {
+            "codec": "raw", "sub_encodings": info,
+            "stats": {"count": 0, "distinct": 0, "distinct_ratio": 0.0,
+                      "avg_len": 0.0}}
+    contents, lengths = _varwidth_parts(vals)
+    dict_arr = _as_array(pc.dictionary_encode(vals))
+    st = _string_stats_arrow(vals, lengths, dict_arr)
+    codec = _select_codec_arrow(contents, st, policy)
+    if codec == "dict":
+        d = _as_array(dict_arr.dictionary)
+        sort_idx = np.asarray(pc.sort_indices(d)).astype(np.int64)
+        inv = np.empty(len(sort_idx), dtype=np.int64)
+        inv[sort_idx] = np.arange(len(sort_idx), dtype=np.int64)
+        idx = inv[np.asarray(dict_arr.indices.cast(pa.int64()))].astype(np.uint64)
+        sorted_dict = _as_array(d.take(pa.array(sort_idx)))
+        dcontents, dlens = _varwidth_parts(sorted_dict)
+        streams = [
+            ("DATA", rlev2.encode(idx, signed=False, info=info)),
+            ("DICT_LENGTH", rlev2.encode(dlens, signed=False)),
+            ("DICT_DATA", dcontents.tobytes()),
+        ]
+        return streams, {"codec": "dict", "dict_size": len(sorted_dict),
+                         "sub_encodings": info, "stats": st}
+    if codec == "fsst":
+        data = fsst.compress(contents.tobytes())
+        if len(data) >= len(contents):  # stored-original fallback
+            codec, data = "raw", contents.tobytes()
+    else:
+        data = contents.tobytes()
+    streams = [
+        ("LENGTH", rlev2.encode(lengths, signed=False, info=info)),
+        ("DATA", data),
+    ]
+    return streams, {"codec": codec, "sub_encodings": info, "stats": st}
+
+
+def _select_codec_arrow(contents: np.ndarray, st: dict, policy: str) -> str:
+    if st["count"] == 0:
+        return "raw"
+    if (st["distinct_ratio"] <= selector.DICT_MAX_RATIO
+            and st["distinct"] <= selector.DICT_MAX_ENTRIES):
+        return "dict"
+    if policy != "fast" and st["avg_len"] >= selector.FSST_MIN_AVG_LEN:
+        raw = contents[:selector.FSST_SAMPLE_BYTES].tobytes()
+        if len(raw) >= 1024:
+            blob = fsst.compress(raw)
+            if len(blob) < selector._FSST_GAIN.get(policy, 0.45) * len(raw):
+                return "fsst"
+    return "raw"
+
+
+# ----------------------------------------------------------------- decode --
+
+
+def decode_stripe_batch(blob: bytes, meta: dict,
+                        tz: str | None = None) -> pa.RecordBatch:
+    n_rows = meta["n_rows"]
+    comp = meta["compression"]
+    mv = memoryview(blob)
+    arrays, names = [], []
+    for col in meta["columns"]:
+        streams = {
+            s["kind"]: chunk.decompress(
+                bytes(mv[s["offset"]: s["offset"] + s["length"]]), comp
+            )
+            for s in col["streams"]
+        }
+        if col["has_nulls"]:
+            present = boolrle.decode(streams["PRESENT"], n_rows)
+            n_vals = int(present.sum())
+        else:
+            present = None
+            n_vals = n_rows
+        arrays.append(_decode_column_arrow(streams, col, n_vals, present,
+                                           n_rows, tz))
+        names.append(col["name"])
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _expand(values: np.ndarray, present: np.ndarray | None, n_rows: int,
+            fill=0) -> tuple[np.ndarray, np.ndarray | None]:
+    """Scatter compacted values into a full-length array + null mask."""
+    if present is None:
+        return values, None
+    full = np.full(n_rows, fill, dtype=values.dtype)
+    full[present] = values
+    return full, ~present
+
+
+def _varwidth_array(contents: bytes, lengths: np.ndarray,
+                    present: np.ndarray | None, n_rows: int,
+                    typ: pa.DataType) -> pa.Array:
+    """Build a large_string/large_binary array from contents+lengths without
+    creating per-row Python objects."""
+    if present is None:
+        full_lens = np.asarray(lengths, dtype=np.int64)
+        validity = None
+    else:
+        full_lens = np.zeros(n_rows, dtype=np.int64)
+        full_lens[present] = np.asarray(lengths, dtype=np.int64)
+        validity = pa.py_buffer(np.packbits(present, bitorder="little").tobytes())
+    offsets = np.empty(n_rows + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(full_lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        typ, n_rows,
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(contents)],
+        null_count=0 if present is None else int((~present).sum()),
+    )
+
+
+def _decode_column_arrow(streams: dict, col: dict, n: int,
+                         present: np.ndarray | None, n_rows: int,
+                         tz: str | None) -> pa.Array:
+    kind, codec = col["kind"], col["codec"]
+    if kind in INT_CAST and kind != "date":
+        v = rlev2.decode(streams["DATA"], n, signed=True)
+        full, mask = _expand(v, present, n_rows)
+        return pa.array(full, mask=mask).cast(_PA_BY_KIND[kind])
+    if kind == "date":
+        days = rlev2.decode(streams["DATA"], n, signed=True)
+        full, mask = _expand(days.astype(np.int32), present, n_rows)
+        return pa.array(full, mask=mask).cast(pa.date32())
+    if kind == "byte":
+        v = byterle.decode(streams["DATA"], n).astype(np.int8)
+        full, mask = _expand(v, present, n_rows)
+        return pa.array(full, mask=mask)
+    if kind == "bool":
+        v = boolrle.decode(streams["DATA"], n)
+        full, mask = _expand(v, present, n_rows, fill=False)
+        return pa.array(full, mask=mask)
+    if kind == "float":
+        v = floats.decode_f32(streams["DATA"], n)
+        full, mask = _expand(v, present, n_rows, fill=np.float32(np.nan))
+        return pa.array(full, mask=mask)
+    if kind == "double":
+        v = floats.decode_f64(streams["DATA"], n)
+        full, mask = _expand(v, present, n_rows, fill=np.float64(np.nan))
+        return pa.array(full, mask=mask)
+    if kind in ("timestamp", "timestamp_ntz"):
+        sec = rlev2.decode(streams["DATA"], n, signed=True)
+        packed = rlev2.decode(streams["SECONDARY"], n, signed=False)
+        us = timestamps.sec_nanos_to_micros(sec, timestamps.unpack_nanos(packed))
+        full, mask = _expand(us, present, n_rows)
+        typ = pa.timestamp("us", tz=tz) if kind == "timestamp" \
+            else pa.timestamp("us")
+        return pa.array(full, mask=mask).cast(typ)
+    if kind == "decimal":
+        mant, _ = decode_svarints(streams["DATA"], n)
+        scales = rlev2.decode(streams["SECONDARY"], n, signed=True)
+        import decimal as _dec
+
+        vals = np.array([_dec.Decimal(int(m)).scaleb(-int(s))
+                         for m, s in zip(mant, scales)], dtype=object)
+        full = np.full(n_rows, None, dtype=object)
+        full[present if present is not None else slice(None)] = vals
+        return pa.array(full.tolist(),
+                        type=pa.decimal128(int(col.get("precision", 18)),
+                                           int(col.get("scale", 0))))
+    if kind == "binary":
+        lengths = rlev2.decode(streams["LENGTH"], n, signed=False)
+        return _varwidth_array(streams["DATA"], lengths, present, n_rows,
+                               pa.large_binary())
+    if kind == "string":
+        if codec == "dict":
+            idx = rlev2.decode(streams["DATA"], n, signed=False)
+            dlens = rlev2.decode(streams["DICT_LENGTH"], col["dict_size"],
+                                 signed=False)
+            entries = _varwidth_array(streams["DICT_DATA"], dlens, None,
+                                      col["dict_size"], pa.large_string())
+            vals = entries.take(pa.array(idx.astype(np.int64)))
+            if present is None:
+                return vals
+            # scatter via take with null indices at null slots
+            pos = np.full(n_rows, -1, dtype=np.int64)
+            pos[present] = np.arange(n, dtype=np.int64)
+            return vals.take(pa.array(pos, mask=~present))
+        lengths = rlev2.decode(streams["LENGTH"], n, signed=False)
+        data = streams["DATA"]
+        if codec == "fsst":
+            data = fsst.decompress(data)
+        return _varwidth_array(data, lengths, present, n_rows,
+                               pa.large_string())
+    raise NotImplementedError(f"column kind {kind!r}")

@@ -65,13 +65,11 @@ def train(data: bytes) -> list[bytes]:
 
 
 def _match_positions(arr: np.ndarray, taken: np.ndarray, sym: np.ndarray,
-                     order: np.ndarray, sorted_h2: np.ndarray) -> np.ndarray:
+                     order: np.ndarray, bucket_starts: np.ndarray,
+                     slot: int) -> np.ndarray:
     """Non-overlapping, not-yet-taken occurrences of `sym` (len>=2) in arr."""
     L = len(sym)
-    key = np.uint16((int(sym[0]) << 8) | int(sym[1]))
-    lo = np.searchsorted(sorted_h2, key, side="left")
-    hi = np.searchsorted(sorted_h2, key, side="right")
-    cand = order[lo:hi]  # ascending positions (stable sort)
+    cand = order[bucket_starts[slot]:bucket_starts[slot + 1]]  # ascending (stable)
     cand = cand[cand <= len(arr) - L]
     if len(cand) == 0:
         return cand
@@ -113,11 +111,26 @@ def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
     single = {s[0]: c for c, s in enumerate(table) if len(s) == 1}
     if multi and n >= 2:
         h2 = (arr[:-1].astype(np.uint16) << 8) | arr[1:]
-        order = np.argsort(h2, kind="stable").astype(np.int64)
-        sorted_h2 = h2[order]
+        # only positions whose 2-byte prefix starts SOME symbol matter: a
+        # 64K LUT maps prefix -> dense symbol-prefix id (or -1), so the sort
+        # runs over the matching subset, not the whole column. int32
+        # positions throughout (stripes are << 2 GB): halves memory traffic,
+        # which is what limits 32-core scaling.
+        prefixes = sorted({(int(s[0]) << 8) | int(s[1]) for _, s in multi})
+        pref_id = np.full(65536, -1, dtype=np.int16)
+        for i, k in enumerate(prefixes):
+            pref_id[k] = i
+        ids = pref_id[h2]
+        sel = np.flatnonzero(ids >= 0).astype(np.int32, copy=False)
+        order = sel[np.argsort(ids[sel], kind="stable")]
+        bucket_starts = np.zeros(len(prefixes) + 1, dtype=np.int64)
+        np.cumsum(np.bincount(ids[sel], minlength=len(prefixes)),
+                  out=bucket_starts[1:])
+        pref_slot = {k: i for i, k in enumerate(prefixes)}
         # longer symbols first, then table (gain) order
         for c, sym in sorted(multi, key=lambda t: -len(t[1])):
-            pos = _match_positions(arr, taken, sym, order, sorted_h2)
+            slot = pref_slot[(int(sym[0]) << 8) | int(sym[1])]
+            pos = _match_positions(arr, taken, sym, order, bucket_starts, slot)
             if len(pos) == 0:
                 continue
             code_at[pos] = c
@@ -125,7 +138,7 @@ def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
                 taken[pos + j] = True
 
     # classify remaining bytes
-    free = np.flatnonzero(~taken)
+    free = np.flatnonzero(~taken).astype(np.int32, copy=False)
     free_b = arr[free]
     single_map = np.full(256, -1, dtype=np.int16)
     for b, c in single.items():
@@ -133,21 +146,28 @@ def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
     free_codes = single_map[free_b]
     is_single = free_codes >= 0
 
-    # output sizes: symbol start=1, single=1, escaped=2
-    starts = np.flatnonzero(code_at >= 0)
-    out_len = len(starts) + int(is_single.sum()) + 2 * int((~is_single).sum())
+    # merge symbol starts and free bytes into one token list (both sorted);
+    # offsets come from a cumsum over tokens, not over every source byte
+    starts = np.flatnonzero(code_at >= 0).astype(np.int32, copy=False)
+    m_starts, m_free = len(starts), len(free)
+    m = m_starts + m_free
+    start_slots = np.searchsorted(free, starts).astype(np.int32) \
+        + np.arange(m_starts, dtype=np.int32)
+    free_mask = np.ones(m, dtype=bool)
+    free_mask[start_slots] = False
+    lens = np.ones(m, dtype=np.int32)
+    lens[free_mask] = np.where(is_single, np.int32(1), np.int32(2))
+    dst = np.empty(m, dtype=np.int32)
+    dst[0] = 0
+    np.cumsum(lens[:-1], out=dst[1:])
+    out_len = int(dst[-1]) + int(lens[-1])
     out = np.empty(out_len, dtype=np.uint8)
-    # destination offsets: walk positions in order; piece length per source pos
-    piece = np.zeros(n, dtype=np.int64)
-    piece[starts] = 1
-    piece[free[is_single]] = 1
-    piece[free[~is_single]] = 2
-    dst = np.concatenate(([0], np.cumsum(piece)[:-1]))
-    out[dst[starts]] = code_at[starts].astype(np.uint8)
-    out[dst[free[is_single]]] = free_codes[is_single].astype(np.uint8)
-    esc_pos = free[~is_single]
-    out[dst[esc_pos]] = ESCAPE
-    out[dst[esc_pos] + 1] = arr[esc_pos]
+    out[dst[start_slots]] = code_at[starts].astype(np.uint8)
+    free_dst = dst[free_mask]
+    out[free_dst[is_single]] = free_codes[is_single].astype(np.uint8)
+    esc_dst = free_dst[~is_single]
+    out[esc_dst] = ESCAPE
+    out[esc_dst + 1] = free_b[~is_single]
 
     header += out_len.to_bytes(4, "little")
     return bytes(header) + out.tobytes()

@@ -61,7 +61,8 @@ STRIPE_SCHEMA = T.StructType([
 class EncodeConfig:
     stripe_bytes: int = 8 * 1024 * 1024   # raw bytes per stripe (256 MB in prod)
     chunk_size: int = chunk.DEFAULT_CHUNK_SIZE
-    compression: str = chunk.ZLIB
+    compression: str = chunk.DEFAULT       # zstd outer layer (zlib = parity mode)
+    policy: str = "balanced"               # string-codec cost policy (selector.POLICIES)
     partitions: int | None = None          # default: spark.sql.shuffle.partitions
     key_col: str | None = None             # co-location / lineage key (conv_id)
     order_cols: tuple = ()                 # stable intra-key order (turn_idx)
@@ -123,8 +124,14 @@ def _estimate_raw_bytes(pdf: pd.DataFrame, spec: list[dict]) -> int:
         s = pdf[col["name"]]
         k = col["kind"]
         if k in ("string", "binary"):
-            lens = s.dropna().map(len)
-            total += int(lens.sum()) + 4 * len(s)
+            # np.fromiter(map(len, ...)) iterates at C speed; nulls -> 0 via
+            # a cheap fillna only when the column actually has nulls
+            arr = s.to_numpy()
+            if s.hasnans:
+                total += sum(len(v) for v in arr if v is not None) + 4 * len(s)
+            else:
+                total += int(np.fromiter(map(len, arr), dtype=np.int64,
+                                         count=len(arr)).sum()) + 4 * len(s)
         elif k in ("timestamp", "timestamp_ntz", "long", "double", "decimal", "date"):
             total += 8 * len(s)
         else:
@@ -133,12 +140,20 @@ def _estimate_raw_bytes(pdf: pd.DataFrame, spec: list[dict]) -> int:
 
 
 def _make_encoder(spec: list[dict], cfg: EncodeConfig):
-    key = cfg.key_col
+    """Arrow-native encoder for mapInArrow: accumulates RecordBatches to the
+    stripe budget, encodes via arrow_stripe (zero-copy buffer extraction, no
+    per-row Python), emits one stripe row per flush."""
+    import pyarrow as pa
 
-    def encode_stripes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from goorc_spark import arrow_stripe
+
+    key = cfg.key_col
+    names = [c["name"] for c in spec]
+
+    def encode_stripes(batches):
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else -1
-        pending: list[pd.DataFrame] = []
+        pending: list = []
         pending_bytes = 0
         seq = 0
 
@@ -147,37 +162,40 @@ def _make_encoder(spec: list[dict], cfg: EncodeConfig):
             if not pending:
                 return None
             t0 = time.monotonic()
-            pdf = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+            table = pa.Table.from_batches(pending)
+            raw_bytes = pending_bytes  # summed per input batch
             pending, pending_bytes = [], 0
-            blob, meta = stripelib.encode_stripe(
-                pdf, spec, compression=cfg.compression, chunk_size=cfg.chunk_size)
+            blob, meta = arrow_stripe.encode_stripe_table(
+                table, spec, compression=cfg.compression,
+                chunk_size=cfg.chunk_size, policy=cfg.policy)
             ms = (time.monotonic() - t0) * 1000
-            kmin = str(pdf[key].iloc[0]) if key and len(pdf) else None
-            kmax = str(pdf[key].iloc[-1]) if key and len(pdf) else None
-            row = pd.DataFrame({
+            kcol = table.column(key) if key and table.num_rows else None
+            kmin = str(kcol[0].as_py()) if kcol is not None else None
+            kmax = str(kcol[-1].as_py()) if kcol is not None else None
+            row = pa.RecordBatch.from_pydict({
                 "stripe_id": [f"{cfg.run_id}-p{part_id:05d}-s{seq:05d}"],
                 "run_id": [cfg.run_id],
-                "part_id": [part_id],
-                "seq": [seq],
-                "n_rows": [len(pdf)],
-                "raw_bytes": [_estimate_raw_bytes(pdf, spec)],
-                "enc_bytes": [len(blob)],
+                "part_id": pa.array([part_id], pa.int32()),
+                "seq": pa.array([seq], pa.int32()),
+                "n_rows": pa.array([table.num_rows], pa.int64()),
+                "raw_bytes": pa.array([raw_bytes], pa.int64()),
+                "enc_bytes": pa.array([len(blob)], pa.int64()),
                 "key_min": [kmin],
                 "key_max": [kmax],
-                "encode_ms": [ms],
+                "encode_ms": pa.array([ms], pa.float64()),
                 "meta": [json.dumps(meta)],
-                "blob": [blob],
+                "blob": pa.array([blob], pa.binary()),
             })
             seq += 1
             return row
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            if SALT_COL in pdf.columns:
-                pdf = pdf.drop(columns=[SALT_COL])
-            pending.append(pdf)
-            pending_bytes += _estimate_raw_bytes(pdf, spec)
+            if SALT_COL in rb.schema.names:
+                rb = rb.select(names)
+            pending.append(rb)
+            pending_bytes += rb.get_total_buffer_size()
             if pending_bytes >= cfg.stripe_bytes:
                 out = flush()
                 if out is not None:
@@ -231,7 +249,7 @@ def encode_df(df: DataFrame, cfg: EncodeConfig | None = None,
             df = df.sortWithinPartitions(cfg.key_col, *cfg.order_cols)
     else:
         df = df.repartition(n)
-    return df.mapInPandas(_make_encoder(spec, cfg), schema=STRIPE_SCHEMA)
+    return df.mapInArrow(_make_encoder(spec, cfg), schema=STRIPE_SCHEMA)
 
 
 # ----------------------------------------------------------------- decode --
@@ -239,16 +257,25 @@ def encode_df(df: DataFrame, cfg: EncodeConfig | None = None,
 
 def decode_df(stripes: DataFrame, spec: list[dict]) -> DataFrame:
     """Decode a stripe table back into rows (order: stripe order; sort by
-    your key columns afterwards for the canonical view)."""
+    your key columns afterwards for the canonical view). Arrow-native: each
+    stripe blob becomes one RecordBatch with no per-row Python."""
     out_schema = schema_from_spec(spec)
+    tz = stripes.sparkSession.conf.get("spark.sql.session.timeZone")
 
-    def decode_stripes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for blob, meta_json in zip(pdf["blob"], pdf["meta"]):
+    def decode_stripes(batches):
+        from goorc_spark import arrow_stripe
+
+        for rb in batches:
+            metas = rb.column("meta").to_pylist()
+            blobs = rb.column("blob")
+            for i, meta_json in enumerate(metas):
                 meta = json.loads(meta_json)
-                yield stripelib.decode_stripe(bytes(blob), meta)
+                out = arrow_stripe.decode_stripe_batch(
+                    blobs[i].as_py(), meta, tz=tz)
+                yield out
 
-    return stripes.select("meta", "blob").mapInPandas(decode_stripes, schema=out_schema)
+    return stripes.select("meta", "blob").mapInArrow(decode_stripes,
+                                                     schema=out_schema)
 
 
 # ---------------------------------------------------------------- lineage --

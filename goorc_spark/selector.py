@@ -24,10 +24,17 @@ DICT_MAX_RATIO = 0.5
 DICT_MAX_ENTRIES = 1 << 16
 FSST_MIN_AVG_LEN = 16.0
 FSST_SAMPLE_BYTES = 1 << 15
-FSST_GAIN = 0.9  # sample must compress below 90% to be worth it
+
+# policy -> FSST gain threshold on the trial probe (sample must compress
+# below this fraction to be worth FSST's CPU cost). "fast" never probes;
+# "compact" accepts any real gain; "balanced" (default with the zstd outer
+# layer) wants a strong win because zstd alone already compresses well.
+POLICIES = ("fast", "balanced", "compact")
+_FSST_GAIN = {"balanced": 0.45, "compact": 0.9}
 
 
-def select_string_codec(values: pd.Series, stats: dict) -> str:
+def select_string_codec(values: pd.Series, stats: dict,
+                        policy: str = "balanced") -> str:
     """values: non-null str Series; returns 'dict' | 'fsst' | 'raw'."""
     n = stats.get("count", 0)
     if n == 0:
@@ -37,11 +44,11 @@ def select_string_codec(values: pd.Series, stats: dict) -> str:
         and stats["distinct"] <= DICT_MAX_ENTRIES
     ):
         return "dict"
-    if stats["avg_len"] >= FSST_MIN_AVG_LEN:
+    if policy != "fast" and stats["avg_len"] >= FSST_MIN_AVG_LEN:
         sample = "".join(values.iloc[: max(2, int(FSST_SAMPLE_BYTES // max(stats["avg_len"], 1)))])
         raw = sample.encode("utf-8")[:FSST_SAMPLE_BYTES]
         if len(raw) >= 1024:
             blob = fsst.compress(raw)
-            if len(blob) < FSST_GAIN * len(raw):
+            if len(blob) < _FSST_GAIN.get(policy, 0.45) * len(raw):
                 return "fsst"
     return "raw"

@@ -48,8 +48,9 @@ _INT_DTYPE = {"short": "Int16", "int": "Int32", "long": "Int64", "byte": "Int8"}
 def encode_stripe(
     pdf: pd.DataFrame,
     spec: list[dict],
-    compression: str = chunk.ZLIB,
+    compression: str = chunk.DEFAULT,
     chunk_size: int = chunk.DEFAULT_CHUNK_SIZE,
+    policy: str = "balanced",
 ) -> tuple[bytes, dict]:
     n_rows = len(pdf)
     blob = bytearray()
@@ -59,7 +60,7 @@ def encode_stripe(
         series = pdf[name]
         mask = series.isna().to_numpy()
         has_nulls = bool(mask.any())
-        streams, col_meta = _encode_column(series, mask, col)
+        streams, col_meta = _encode_column(series, mask, col, policy)
         if has_nulls:
             streams.insert(0, ("PRESENT", boolrle.encode(~mask)))
         directory = []
@@ -85,7 +86,8 @@ def encode_stripe(
     return bytes(blob), meta
 
 
-def _encode_column(series: pd.Series, mask: np.ndarray, col: dict):
+def _encode_column(series: pd.Series, mask: np.ndarray, col: dict,
+                   policy: str = "balanced"):
     kind = col["kind"]
     vals = series[~mask] if mask.any() else series
     info: dict = {}
@@ -149,13 +151,13 @@ def _encode_column(series: pd.Series, mask: np.ndarray, col: dict):
         ], {"codec": "raw", "stats": {"count": len(bs),
                                       "total_len": int(lengths.sum()) if len(bs) else 0}}
     if kind == "string":
-        return _encode_string(vals.astype(object))
+        return _encode_string(vals.astype(object), policy)
     raise NotImplementedError(f"column kind {kind!r}")
 
 
-def _encode_string(vals: pd.Series):
+def _encode_string(vals: pd.Series, policy: str = "balanced"):
     st = stx.string_stats(vals if len(vals) else pd.Series([], dtype=object))
-    codec = selector.select_string_codec(vals, st) if len(vals) else "raw"
+    codec = selector.select_string_codec(vals, st, policy) if len(vals) else "raw"
     info: dict = {}
     if codec == "dict":
         idx, entries = dictionary.build(list(vals))

@@ -122,6 +122,72 @@ def transcripts_from_events(spark, sf_dir: str):
     )
 
 
+def synthesize_spark(spark, n_convs: int = 40_000, seed: int = 42,
+                     mega_conv_turns: int = 0):
+    """Deterministic, fully distributed transcripts generator — every column
+    is a JVM-side expression over spark.range (xxhash64-driven pseudo-random),
+    so synthesis itself scales with the cluster and the same (n_convs, seed)
+    always yields bit-identical data. Used for the scaling benchmark where
+    events.parquet is too small to keep 32 cores busy.
+
+    Sizes are skewed 10..160 turns; conv 0 optionally becomes a
+    mega-conversation (salting exercise). ~40k convs ≈ 2.0M turns.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    n_words = len(_WORDS)
+
+    def h(*cols):
+        return F.xxhash64(*cols, F.lit(seed))
+
+    convs = spark.range(n_convs).select(
+        F.col("id").alias("cid"),
+        F.format_string("conv-%08d", F.col("id")).alias("conv_id"),
+    )
+    sizes = (F.pmod(h(F.col("cid")), F.lit(150)) + 10).cast("int")
+    if mega_conv_turns:
+        sizes = F.when(F.col("cid") == 0, mega_conv_turns).otherwise(sizes)
+    df = convs.select(
+        "cid", "conv_id",
+        F.explode(F.sequence(F.lit(0), sizes - 1)).alias("turn_idx"),
+    )
+    hr = h(F.col("cid"), F.col("turn_idx"))
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+        (F.pmod(hr, F.lit(4)) + 1).cast("int"))
+    tool = F.when(
+        role == "tool",
+        F.element_at(F.array(F.lit("bash"), F.lit("search"), F.lit("python")),
+                     (F.pmod(hr, F.lit(3)) + 1).cast("int"))
+    ).otherwise(F.lit(None).cast("string"))
+    n_toks = (F.pmod(h(F.col("cid"), F.col("turn_idx"), F.lit(1)), F.lit(40)) + 1)
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_toks.cast("int")),
+            lambda i: F.element_at(
+                words,
+                (F.pmod(F.xxhash64(F.col("cid"), F.col("turn_idx"), i,
+                                   F.lit(seed)), F.lit(n_words)) + 1).cast("int")),
+        ), " ")
+    # monotone per-conversation timestamps: linear ramp with per-conv slope,
+    # micros drawn from the nano-packing coverage set
+    base_s = F.lit(1_400_000_000) + F.pmod(h(F.col("cid"), F.lit(2)), F.lit(200_000_000))
+    slope = F.pmod(h(F.col("cid"), F.lit(3)), F.lit(240)) + 1
+    micros = F.element_at(
+        F.array(*[F.lit(v) for v in (0, 1, 10, 100, 1000, 10000, 100000, 123456)]),
+        (F.pmod(hr, F.lit(8)) + 1).cast("int"))
+    ts = F.timestamp_micros(
+        ((base_s + F.col("turn_idx") * slope) * F.lit(1_000_000) + micros)
+        .cast("long"))
+    return df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"), text.alias("text"), tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+
 # DuckDB twin of transcripts_from_events (the driver pre-registers `events`).
 ORACLE_SQL = """
 SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,

@@ -92,28 +92,118 @@ def warm_python_workers(spark, cores: int) -> None:
         .mapInArrow(noop, "id long").count()
 
 
-def scaling_run(cores: int, partitions: int) -> dict:
-    """Encode the same deterministic synthetic input at a given core count.
-    Runs in a SUBPROCESS so each measurement gets a fresh JVM (the pyspark
-    gateway is otherwise reused across sessions, and its heap/GC state
-    contaminates timings)."""
+SPARK_HOME = os.path.join(os.path.dirname(os.path.abspath(__import__("pyspark").__file__)))
+SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
+CORES_PER_EXECUTOR = 2
+EXECUTOR_MEM = "6g"
+
+
+def _build_pyfiles_zip() -> str:
+    import zipfile
+
+    path = os.path.join(tempfile.gettempdir(), "goorc_spark_bench.zip")
+    root = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(path, "w") as z:
+        for dirpath, _dirs, files in os.walk(os.path.join(root, "goorc_spark")):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    return path
+
+
+class StandaloneCluster:
+    """A real multi-executor cluster on this machine: one Master JVM plus
+    `n_workers` Worker JVMs (each hosting one executor of
+    CORES_PER_EXECUTOR cores with its own shuffle/serde/python workers) —
+    the in-sandbox stand-in for an N-executor cluster."""
+
+    def __init__(self, n_workers: int, port: int):
+        self.n_workers = n_workers
+        self.port = port
+        self.procs: list = []
+
+    @property
+    def url(self) -> str:
+        return f"spark://127.0.0.1:{self.port}"
+
+    def __enter__(self):
+        import subprocess
+
+        env = dict(os.environ,
+                   SPARK_LOG_DIR=tempfile.mkdtemp(prefix="spark-log-"),
+                   SPARK_NO_DAEMONIZE="1")
+        self.procs.append(subprocess.Popen(
+            [SPARK_CLASS, "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", str(self.port),
+             "--webui-port", str(self.port + 1)],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+        time.sleep(6)
+        for _ in range(self.n_workers):
+            self.procs.append(subprocess.Popen(
+                [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+                 self.url, "--host", "127.0.0.1",
+                 "--cores", str(CORES_PER_EXECUTOR),
+                 "--memory", EXECUTOR_MEM, "--webui-port", "0"],
+                env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+        time.sleep(8)
+        return self
+
+    def __exit__(self, *exc):
+        for p in reversed(self.procs):
+            p.terminate()
+        for p in self.procs:
+            try:
+                p.wait(timeout=15)
+            except Exception:
+                p.kill()
+
+
+def scaling_run(n_workers: int, partitions: int) -> dict:
+    """Encode the same deterministic synthetic input on a standalone cluster
+    of n_workers executor JVMs. The driver app runs in a SUBPROCESS so every
+    measurement gets a fresh driver JVM."""
     import subprocess
 
-    out = subprocess.run(
-        [sys.executable, __file__, "--scale-probe", str(cores), str(partitions)],
-        capture_output=True, text=True, check=True)
+    port = 7901 + (os.getpid() + n_workers) % 80
+    with StandaloneCluster(n_workers, port) as cluster:
+        out = subprocess.run(
+            [sys.executable, __file__, "--scale-probe", cluster.url,
+             str(n_workers), str(partitions)],
+            capture_output=True, text=True, check=True)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"scale probe produced no result: {out.stderr[-2000:]}")
+    raise RuntimeError(f"scale probe produced no result: {out.stderr[-3000:]}")
 
 
-def scale_probe(cores: int, partitions: int) -> None:
+def scale_probe(master_url: str, n_workers: int, partitions: int) -> None:
     """Subprocess entry: synthesize, cache, warm workers, time the encode."""
+    from pyspark.sql import SparkSession
+
     from goorc_spark import transcripts
 
-    spark = make_session(cores, partitions)
+    pyfiles = _build_pyfiles_zip()
+    spark = (
+        SparkSession.builder.master(master_url)
+        .appName(f"goorc_scale_{n_workers}w")
+        .config("spark.executor.cores", str(CORES_PER_EXECUTOR))
+        .config("spark.executor.memory", EXECUTOR_MEM)
+        .config("spark.submit.pyFiles", pyfiles)
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        .config("spark.sql.shuffle.partitions", str(partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addPyFile(pyfiles)
+    cores = n_workers * CORES_PER_EXECUTOR
     try:
         df = transcripts.synthesize_spark(spark, n_convs=SCALE_CONVS,
                                           mega_conv_turns=400_000).cache()
@@ -123,8 +213,9 @@ def scale_probe(cores: int, partitions: int) -> None:
         sec, agg = timed(lambda: encode_job(spark, df, partitions))
         best = min(best, sec)
         print(json.dumps({
-            "cores": cores, "sec": round(best, 3), "turns": n,
-            "turns_per_sec": round(n / best), "stripes": agg["stripes"],
+            "executors": n_workers, "cores": cores, "sec": round(best, 3),
+            "turns": n, "turns_per_sec": round(n / best),
+            "stripes": agg["stripes"],
             "ratio": round(agg["raw"] / agg["enc"], 3)}))
     finally:
         spark.stop()
@@ -188,28 +279,33 @@ def orc_zlib_oracle_bytes(pdf) -> int:
 
 
 def main() -> None:
-    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-probe":
-        scale_probe(int(sys.argv[2]), int(sys.argv[3]))
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scale-probe":
+        scale_probe(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
         return
 
     queries: dict[str, float] = {}
     extras: dict = {}
 
-    # ---- phase 1: scaling evidence (N vs 4N cores, identical input/plan) --
-    n_small = max(CPUS // 4, 2)
-    small = scaling_run(n_small, partitions=4 * CPUS)
-    big = scaling_run(CPUS, partitions=4 * CPUS)
-    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / (CPUS / n_small)
+    # ---- phase 1: scaling evidence — N vs 4N EXECUTORS on a real local
+    # standalone cluster (separate Master/Worker/executor JVMs, each
+    # executor with its own shuffle/serde/python workers), same input, same
+    # partition count. This is the in-sandbox version of the north rule's
+    # two-cluster-size criterion.
+    # 2 vs 8 executors (4 vs 16 cores): the 4N cluster must leave headroom
+    # for the driver JVM, master and worker daemons on this one machine —
+    # 16 worker JVMs would oversubscribe the box and understate scaling
+    n_exec = 2
+    n4_exec = 4 * n_exec
+    small = scaling_run(n_exec, partitions=8 * n4_exec)
+    big = scaling_run(n4_exec, partitions=8 * n4_exec)
+    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / (n4_exec / n_exec)
     extras["scaling"] = {"n": small, "4n": big, "efficiency": round(eff, 3)}
-    queries[f"encode_synth_local{n_small}"] = small["sec"]
-    queries[f"encode_synth_local{CPUS}"] = big["sec"]
+    queries[f"encode_cluster_{n_exec}exec"] = small["sec"]
+    queries[f"encode_cluster_{n4_exec}exec"] = big["sec"]
 
-    # kernel-level scaling (multiprocessing, no JVM co-located on the same
-    # cores): the contention-free view of the same codec work — on a real
-    # cluster each executor has dedicated cores, so this is the cluster-
-    # relevant number; the Spark-local figure above co-schedules the JVM
-    # shuffle/serde threads AND the python workers on one machine.
-    extras["kernel_scaling"] = kernel_scaling(n_small, CPUS)
+    # kernel-level scaling (multiprocessing, no JVM sharing cores): the
+    # contention-free view of the same codec work at machine scale.
+    extras["kernel_scaling"] = kernel_scaling(max(CPUS // 4, 2), CPUS)
 
     # ---- phase 2: sf-dir bench at full parallelism ------------------------
     from pyspark.sql import functions as F

@@ -57,6 +57,31 @@ def _valid_mask(arr: pa.Array) -> np.ndarray | None:
     return np.asarray(pc.is_valid(arr))
 
 
+def _list_parts(vals: pa.Array) -> tuple[np.ndarray, list[pa.Array]]:
+    """(lengths, [child arrays]) for a no-null ListArray/MapArray. Offsets
+    are logical (windowed) while .values/.keys/.items are physical, so the
+    children are gathered when the offsets aren't already dense."""
+    is_map = pa.types.is_map(vals.type)
+    if len(vals) == 0:
+        empty_children = ([vals.type.key_type, vals.type.item_type]
+                          if is_map else [vals.type.value_type])
+        return (np.empty(0, np.uint64),
+                [pa.array([], t) for t in empty_children])
+    off = np.asarray(vals.offsets).astype(np.int64)
+    lengths = np.diff(off)
+    physical = [vals.keys, vals.items] if is_map else [vals.values]
+    dense = off[0] == 0 and off[-1] == len(physical[0])
+    if not dense:
+        total = int(lengths.sum())
+        starts = off[:-1]
+        ends_excl = np.cumsum(lengths)
+        intra = np.arange(total, dtype=np.int64) \
+            - np.repeat(ends_excl - lengths, lengths)
+        child_idx = pa.array(np.repeat(starts, lengths) + intra)
+        physical = [p.take(child_idx) for p in physical]
+    return lengths.astype(np.uint64), physical
+
+
 def _varwidth_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(contents uint8, lengths) from a string/binary array (either offset
     width) with no nulls — zero-copy from the Arrow buffers."""
@@ -83,39 +108,75 @@ def encode_stripe_table(
     chunk_size: int = chunk.DEFAULT_CHUNK_SIZE,
     policy: str = "balanced",
 ) -> tuple[bytes, dict]:
-    n_rows = table.num_rows
     blob = bytearray()
-    cols_meta = []
-    for col in spec:
-        name, kind = col["name"], col["kind"]
-        arr = _as_array(table.column(name))
-        valid = _valid_mask(arr)
-        has_nulls = valid is not None
-        vals = arr.drop_null() if has_nulls else arr
-        streams, col_meta = _encode_column_arrow(vals, col, policy)
-        if has_nulls:
-            streams.insert(0, ("PRESENT", boolrle.encode(valid)))
-        directory = []
-        for skind, raw in streams:
-            comp = chunk.compress(bytes(raw), compression, chunk_size)
-            directory.append(
-                {"kind": skind, "offset": len(blob), "length": len(comp),
-                 "raw_length": len(raw)}
-            )
-            blob += comp
-        col_meta.update(
-            {"name": name, "kind": kind, "has_nulls": has_nulls,
-             "null_count": int(arr.null_count), "streams": directory}
-        )
-        cols_meta.append(col_meta)
+    cols_meta = [
+        _write_column(_as_array(table.column(col["name"])), col, blob,
+                      compression, chunk_size, policy)
+        for col in spec
+    ]
     meta = {
         "version": FORMAT_VERSION,
-        "n_rows": n_rows,
+        "n_rows": table.num_rows,
         "compression": compression,
         "chunk_size": chunk_size,
         "columns": cols_meta,
     }
     return bytes(blob), meta
+
+
+def _write_column(arr: pa.Array, col: dict, blob: bytearray,
+                  compression: str, chunk_size: int, policy: str) -> dict:
+    """Recursive column writer: scalar kinds produce value streams; nested
+    kinds (struct/list/map — the reference's C11-C13 stream compositions:
+    PRESENT-only for struct, PRESENT+LENGTH for list/map,
+    /root/reference/orc/column/{struct,list,map}.go) recurse into children,
+    all streams appended to the same stripe blob."""
+    kind = col["kind"]
+    valid = _valid_mask(arr)
+    has_nulls = valid is not None
+    vals = arr.drop_null() if has_nulls else arr
+    children_meta = None
+
+    if kind == "struct":
+        streams: list = []
+        children_meta = [
+            _write_column(_as_array(vals.field(i)), child, blob,
+                          compression, chunk_size, policy)
+            for i, child in enumerate(col["children"])
+        ]
+        col_meta: dict = {"codec": "struct"}
+    elif kind in ("list", "map"):
+        lengths, kids = _list_parts(vals)
+        streams = [("LENGTH", rlev2.encode(lengths, signed=False))]
+        childspecs = [col["child"]] if kind == "list" \
+            else [col["key"], col["value"]]
+        children_meta = [
+            _write_column(_as_array(kid), cs, blob, compression, chunk_size,
+                          policy)
+            for kid, cs in zip(kids, childspecs)
+        ]
+        col_meta = {"codec": kind}
+    else:
+        streams, col_meta = _encode_column_arrow(vals, col, policy)
+
+    if has_nulls:
+        streams.insert(0, ("PRESENT", boolrle.encode(valid)))
+    directory = []
+    for skind, raw in streams:
+        comp = chunk.compress(bytes(raw), compression, chunk_size)
+        directory.append(
+            {"kind": skind, "offset": len(blob), "length": len(comp),
+             "raw_length": len(raw)}
+        )
+        blob += comp
+    col_meta.update(
+        {"name": col["name"], "kind": kind, "has_nulls": has_nulls,
+         "null_count": int(arr.null_count), "n_values": len(arr),
+         "streams": directory}
+    )
+    if children_meta is not None:
+        col_meta["children"] = children_meta
+    return col_meta
 
 
 def _np_int64(vals: pa.Array) -> np.ndarray:
@@ -128,7 +189,11 @@ def _encode_column_arrow(vals: pa.Array, col: dict, policy: str):
     kind = col["kind"]
     info: dict = {}
     if kind in INT_CAST:
-        v = _np_int64(vals)
+        if kind == "date":  # date32 is physically int32 days — reinterpret
+            v = np.asarray(vals.view(pa.int32())).astype(np.int64) \
+                if len(vals) else np.empty(0, np.int64)
+        else:
+            v = _np_int64(vals)
         data = rlev2.encode(v, signed=True, info=info)
         return [("DATA", data)], {"codec": "rlev2", "sub_encodings": info,
                                   "stats": stx.int_stats(v)}
@@ -267,28 +332,75 @@ def _select_codec_arrow(contents: np.ndarray, st: dict, policy: str) -> str:
 
 
 def decode_stripe_batch(blob: bytes, meta: dict,
-                        tz: str | None = None) -> pa.RecordBatch:
+                        tz: str | None = None,
+                        include: list[str] | None = None) -> pa.RecordBatch:
+    """Decode a stripe. `include` projects columns: only the named columns'
+    streams are decompressed/decoded (the reference's include-list,
+    /root/reference/orc/stripe.go:246-261 — skipped columns cost nothing)."""
     n_rows = meta["n_rows"]
     comp = meta["compression"]
     mv = memoryview(blob)
     arrays, names = [], []
     for col in meta["columns"]:
-        streams = {
-            s["kind"]: chunk.decompress(
-                bytes(mv[s["offset"]: s["offset"] + s["length"]]), comp
-            )
-            for s in col["streams"]
-        }
-        if col["has_nulls"]:
-            present = boolrle.decode(streams["PRESENT"], n_rows)
-            n_vals = int(present.sum())
-        else:
-            present = None
-            n_vals = n_rows
-        arrays.append(_decode_column_arrow(streams, col, n_vals, present,
-                                           n_rows, tz))
+        if include is not None and col["name"] not in include:
+            continue
+        arrays.append(_read_column(mv, col, n_rows, comp, tz))
         names.append(col["name"])
     return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _scatter_nulls(vals: pa.Array, present: np.ndarray | None,
+                   n_rows: int) -> pa.Array:
+    """Expand a compacted (non-null) array to full length with nulls at the
+    not-present slots, via a C++ take with masked indices."""
+    if present is None:
+        return vals
+    pos = np.full(n_rows, -1, dtype=np.int64)
+    pos[present] = np.arange(len(vals), dtype=np.int64)
+    return vals.take(pa.array(pos, mask=~present))
+
+
+def _read_column(mv, col: dict, n_rows: int, comp: str,
+                 tz: str | None) -> pa.Array:
+    """Recursive column reader mirroring _write_column."""
+    streams = {
+        s["kind"]: chunk.decompress(
+            bytes(mv[s["offset"]: s["offset"] + s["length"]]), comp
+        )
+        for s in col["streams"]
+    }
+    if col["has_nulls"]:
+        present = boolrle.decode(streams["PRESENT"], n_rows)
+        n_vals = int(present.sum())
+    else:
+        present = None
+        n_vals = n_rows
+    kind = col["kind"]
+    if kind == "struct":
+        children = [
+            _read_column(mv, child, n_vals, comp, tz)
+            for child in col["children"]
+        ]
+        vals = pa.StructArray.from_arrays(
+            children, names=[c["name"] for c in col["children"]])
+        return _scatter_nulls(vals, present, n_rows)
+    if kind in ("list", "map"):
+        lengths = rlev2.decode(streams["LENGTH"], n_vals, signed=False)
+        offsets = np.empty(n_vals + 1, dtype=np.int32)
+        offsets[0] = 0
+        np.cumsum(lengths.astype(np.int32), out=offsets[1:])
+        if kind == "list":
+            child = _read_column(mv, col["children"][0],
+                                 col["children"][0]["n_values"], comp, tz)
+            vals = pa.ListArray.from_arrays(pa.array(offsets), child)
+        else:
+            keys = _read_column(mv, col["children"][0],
+                                col["children"][0]["n_values"], comp, tz)
+            items = _read_column(mv, col["children"][1],
+                                 col["children"][1]["n_values"], comp, tz)
+            vals = pa.MapArray.from_arrays(pa.array(offsets), keys, items)
+        return _scatter_nulls(vals, present, n_rows)
+    return _decode_column_arrow(streams, col, n_vals, present, n_rows, tz)
 
 
 def _expand(values: np.ndarray, present: np.ndarray | None, n_rows: int,

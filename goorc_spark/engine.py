@@ -5,11 +5,11 @@ Architecture (SURVEY.md §3.1 re-architected Spark-first): the reference's
 single-threaded writer row-loop (/root/reference/orc/writer.go:67 "cannot
 used concurrently") becomes
     df.repartition(N, key, salt).sortWithinPartitions(key, order)
-      .mapInPandas(encode_stripes)
+      .mapInArrow(encode_stripes)
 — all parallelism comes from Spark partitioning; each task emits one stripe
 row (blob + metadata + lineage) per ~stripe_bytes of input. Everything
 relational stays in Catalyst (shuffle, sort, AQE); all encoding runs inside
-Arrow-batched pandas UDFs — no per-row Python anywhere.
+Arrow-native UDFs on RecordBatch buffers — no per-row Python anywhere.
 
 Skew: mega-conversations (>salt_threshold rows) are split into salt buckets
 by floor(order_col / bucket_rows) — deterministic, no window function, and
@@ -29,14 +29,9 @@ import json
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from goorc_spark import stripe as stripelib
 from goorc_spark.codecs import chunk
 
 SALT_COL = "__gsalt"
@@ -90,53 +85,53 @@ _KIND_TO_SPARK = {
 }
 
 
+def _spec_from_type(name: str, dt: T.DataType) -> dict:
+    if isinstance(dt, T.DecimalType):
+        return {"name": name, "kind": "decimal",
+                "precision": dt.precision, "scale": dt.scale}
+    if isinstance(dt, T.ArrayType):
+        return {"name": name, "kind": "list",
+                "child": _spec_from_type("item", dt.elementType)}
+    if isinstance(dt, T.MapType):
+        return {"name": name, "kind": "map",
+                "key": _spec_from_type("key", dt.keyType),
+                "value": _spec_from_type("value", dt.valueType)}
+    if isinstance(dt, T.StructType):
+        return {"name": name, "kind": "struct",
+                "children": [_spec_from_type(f.name, f.dataType)
+                             for f in dt.fields]}
+    if type(dt) in _SPARK_TO_KIND:
+        return {"name": name, "kind": _SPARK_TO_KIND[type(dt)]}
+    raise NotImplementedError(f"unsupported Spark type {dt} for {name}")
+
+
 def spec_from_schema(schema: T.StructType) -> list[dict]:
-    spec = []
-    for f_ in schema.fields:
-        dt = f_.dataType
-        if isinstance(dt, T.DecimalType):
-            spec.append({"name": f_.name, "kind": "decimal",
-                         "precision": dt.precision, "scale": dt.scale})
-        elif type(dt) in _SPARK_TO_KIND:
-            spec.append({"name": f_.name, "kind": _SPARK_TO_KIND[type(dt)]})
-        else:
-            raise NotImplementedError(f"unsupported Spark type {dt} for {f_.name}")
-    return spec
+    return [_spec_from_type(f.name, f.dataType) for f in schema.fields]
+
+
+def _type_from_spec(col: dict) -> T.DataType:
+    kind = col["kind"]
+    if kind == "decimal":
+        return T.DecimalType(col["precision"], col["scale"])
+    if kind == "list":
+        return T.ArrayType(_type_from_spec(col["child"]))
+    if kind == "map":
+        return T.MapType(_type_from_spec(col["key"]),
+                         _type_from_spec(col["value"]))
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(c["name"], _type_from_spec(c), True)
+            for c in col["children"]])
+    return _KIND_TO_SPARK[kind]
 
 
 def schema_from_spec(spec: list[dict]) -> T.StructType:
-    fields = []
-    for col in spec:
-        if col["kind"] == "decimal":
-            dt: T.DataType = T.DecimalType(col["precision"], col["scale"])
-        else:
-            dt = _KIND_TO_SPARK[col["kind"]]
-        fields.append(T.StructField(col["name"], dt, True))
-    return T.StructType(fields)
+    return T.StructType([
+        T.StructField(col["name"], _type_from_spec(col), True)
+        for col in spec])
 
 
 # ----------------------------------------------------------------- encode --
-
-
-def _estimate_raw_bytes(pdf: pd.DataFrame, spec: list[dict]) -> int:
-    total = 0
-    for col in spec:
-        s = pdf[col["name"]]
-        k = col["kind"]
-        if k in ("string", "binary"):
-            # np.fromiter(map(len, ...)) iterates at C speed; nulls -> 0 via
-            # a cheap fillna only when the column actually has nulls
-            arr = s.to_numpy()
-            if s.hasnans:
-                total += sum(len(v) for v in arr if v is not None) + 4 * len(s)
-            else:
-                total += int(np.fromiter(map(len, arr), dtype=np.int64,
-                                         count=len(arr)).sum()) + 4 * len(s)
-        elif k in ("timestamp", "timestamp_ntz", "long", "double", "decimal", "date"):
-            total += 8 * len(s)
-        else:
-            total += 4 * len(s)
-    return total
 
 
 def _make_encoder(spec: list[dict], cfg: EncodeConfig):
@@ -255,11 +250,19 @@ def encode_df(df: DataFrame, cfg: EncodeConfig | None = None,
 # ----------------------------------------------------------------- decode --
 
 
-def decode_df(stripes: DataFrame, spec: list[dict]) -> DataFrame:
+def decode_df(stripes: DataFrame, spec: list[dict],
+              columns: list[str] | None = None) -> DataFrame:
     """Decode a stripe table back into rows (order: stripe order; sort by
     your key columns afterwards for the canonical view). Arrow-native: each
-    stripe blob becomes one RecordBatch with no per-row Python."""
+    stripe blob becomes one RecordBatch with no per-row Python.
+
+    `columns` projects the decode: only those columns' streams are
+    decompressed (the reference's BatchOption.Includes, column pruning at
+    the storage layer — Catalyst prunes the relational side on top)."""
+    if columns is not None:
+        spec = [c for c in spec if c["name"] in columns]
     out_schema = schema_from_spec(spec)
+    include = [c["name"] for c in spec] if columns is not None else None
     tz = stripes.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def decode_stripes(batches):
@@ -271,7 +274,7 @@ def decode_df(stripes: DataFrame, spec: list[dict]) -> DataFrame:
             for i, meta_json in enumerate(metas):
                 meta = json.loads(meta_json)
                 out = arrow_stripe.decode_stripe_batch(
-                    blobs[i].as_py(), meta, tz=tz)
+                    blobs[i].as_py(), meta, tz=tz, include=include)
                 yield out
 
     return stripes.select("meta", "blob").mapInArrow(decode_stripes,

@@ -63,11 +63,32 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-schema roundtrip (long/double/timestamp/string columns):
+    the engine is schema-driven, not transcripts-specific."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec = engine.spec_from_schema(ev.schema)
+    cfg = engine.EncodeConfig(key_col="user_id", order_cols=("ts", "event_id"),
+                              stripe_bytes=4 * 1024 * 1024, run_id="ev")
+    return engine.decode_df(engine.encode_df(ev, cfg), spec)
+
+
+def _decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layer column pruning: only the requested columns' streams
+    are decompressed (reference BatchOption.Includes, orc/stripe.go:250)."""
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    stripes = engine.encode_df(df, _encode_cfg())
+    return engine.decode_df(stripes, transcripts.TRANSCRIPTS_SPEC,
+                            columns=["conv_id", "turn_idx", "text"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- the engine itself -------------------------------------------
         "transcripts_source": _transcripts_source,
         "transcripts_roundtrip": _transcripts_roundtrip,
+        "events_roundtrip": _events_roundtrip,
+        "decode_projection": _decode_projection,
         "encode_lineage": lambda s, d: engine.lineage_view(
             engine.encode_df(transcripts.transcripts_from_events(s, d),
                              _encode_cfg())
@@ -181,6 +202,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_source": transcripts.ORACLE_SQL,
         "transcripts_roundtrip": transcripts.ORACLE_SQL,
+        "events_roundtrip": "SELECT * FROM events",
+        "decode_projection": (
+            f"SELECT conv_id, turn_idx, text FROM ({transcripts.ORACLE_SQL})"
+        ),
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)

@@ -63,6 +63,8 @@ class EncodeConfig:
     order_cols: tuple = ()                 # stable intra-key order (turn_idx)
     salt_threshold: int = 500_000          # rows per key before salting kicks in
     bucket_rows: int = 250_000             # rows per salt bucket
+    range_partition: bool = False          # range-cluster by key (narrow stripe
+                                           # key ranges -> prune_stripes works)
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
 
@@ -239,7 +241,14 @@ def encode_df(df: DataFrame, cfg: EncodeConfig | None = None,
         if pending_parts is not None:
             pid = F.pmod(F.hash(F.col(cfg.key_col), F.col(SALT_COL)), F.lit(n))
             df = df.filter(pid.isin(pending_parts))
-        df = df.repartition(n, F.col(cfg.key_col), F.col(SALT_COL))
+        if cfg.range_partition:
+            # disjoint key ranges per partition -> prune_stripes becomes
+            # effective (each stripe's [key_min, key_max] is narrow); hash
+            # partitioning (default) spreads skew better but every stripe
+            # spans the key space
+            df = df.repartitionByRange(n, F.col(cfg.key_col), F.col(SALT_COL))
+        else:
+            df = df.repartition(n, F.col(cfg.key_col), F.col(SALT_COL))
         if cfg.order_cols:
             df = df.sortWithinPartitions(cfg.key_col, *cfg.order_cols)
     else:
@@ -282,6 +291,24 @@ def decode_df(stripes: DataFrame, spec: list[dict],
 
 
 # ---------------------------------------------------------------- lineage --
+
+
+def prune_stripes(stripes: DataFrame, key_value=None,
+                  lo=None, hi=None) -> DataFrame:
+    """Stripe-level predicate pushdown using the lineage [key_min, key_max]
+    range — the analog of the reference's row-index stats-based seek/skip
+    (/root/reference/orc/stripe.go:369-388): stripes whose key range cannot
+    contain the predicate are filtered out BEFORE their blobs are read, so
+    the parquet scan of the stripe table prunes them too (blob column never
+    materialized for skipped stripes)."""
+    if key_value is not None:
+        lo = hi = key_value
+    cond = F.lit(True)
+    if hi is not None:
+        cond = cond & (F.col("key_min") <= F.lit(hi))
+    if lo is not None:
+        cond = cond & (F.col("key_max") >= F.lit(lo))
+    return stripes.filter(cond)
 
 
 def lineage_view(stripes: DataFrame) -> DataFrame:

@@ -64,18 +64,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
 def minhash_signatures(docs: DataFrame, k: int = 12, shingle: int = 6) -> DataFrame:
     """k-permutation MinHash via seeded md5 — md5(seed || shingle) is a
     deterministic 'permutation' reproducible in any SQL engine."""
-    text = F.col("text")
-    sh = _shingles(text, shingle)
-
-    def _sig(j: int):
-        # NB: a two-arg lambda in F.transform means (element, index) — the
-        # seed must be captured via a closure factory, not a default arg.
-        prefix = f"{j}:"
-        return F.array_min(F.transform(sh, lambda s: F.md5(
-            F.encode(F.concat(F.lit(prefix), s), "utf-8"))))
-
-    sig = F.array(*[_sig(j) for j in range(k)])
-    return docs.select("doc_id", sig.alias("minhash"))
+    # one pass over exploded distinct shingles: k seeded hashes per shingle,
+    # then a map-side-combining min-agg per doc. (The naive form — k
+    # array_min(transform(shingles)) projections — makes Catalyst inline the
+    # shingle build k times; this shape computes shingles once and scales to
+    # billions of docs as a single shuffle of k x 16-byte partial minima.)
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), shingle)).alias("s"))
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("s")), "utf-8")))
+        .alias(f"h{j}")
+        for j in range(k)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"h{j}") for j in range(k)]).alias("minhash"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,

@@ -107,3 +107,24 @@ def test_spark_e2e_nested(spark, tmp_path):
     a = sorted([tuple(str(x) for x in r) for r in df.collect()])
     b = sorted([tuple(str(x) for x in r) for r in out.collect()])
     assert a == b
+
+
+def test_stripe_pruning(spark):
+    from pyspark.sql import functions as F
+
+    from goorc_spark import transcripts as tx
+
+    df = tx.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=64 * 1024, partitions=8,
+                              run_id="prune", range_partition=True)
+    stripes = engine.encode_df(df, cfg).cache()
+    target = df.select("conv_id").first()[0]
+    pruned = engine.prune_stripes(stripes, key_value=target)
+    n_all, n_pruned = stripes.count(), pruned.count()
+    assert n_pruned < n_all  # skipped stripes never decoded
+    out = engine.decode_df(pruned, tx.TRANSCRIPTS_SPEC) \
+        .filter(F.col("conv_id") == target)
+    expected = df.filter(F.col("conv_id") == target).count()
+    assert out.count() == expected
+    stripes.unpersist()

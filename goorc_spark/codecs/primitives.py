@@ -115,11 +115,29 @@ def encode_uvarints(values: np.ndarray) -> bytes:
 
 def decode_uvarints(data: bytes | memoryview, count: int, offset: int = 0):
     """Decode `count` LEB128 varints; returns (uint64 array, new offset)."""
-    b = np.frombuffer(data, dtype=np.uint8)
     if count == 0:
         return np.empty(0, dtype=np.uint64), offset
-    # find varint terminators (bytes with high bit clear) from `offset`
-    tail = b[offset:]
+    if count <= 4:
+        # scalar fast path: the vector path's terminator scan is O(stream),
+        # which made per-block base/delta reads quadratic in stripe size
+        out = np.zeros(count, dtype=np.uint64)
+        p = offset
+        for i in range(count):
+            v = 0
+            shift = 0
+            while True:
+                byte = int(data[p])
+                p += 1
+                v |= (byte & 0x7F) << shift
+                if byte < 0x80:
+                    break
+                shift += 7
+            out[i] = v
+        return out, p
+    b = np.frombuffer(data, dtype=np.uint8)
+    # find varint terminators (bytes with high bit clear) from `offset`;
+    # varints are <= 10 bytes so the scan window is bounded
+    tail = b[offset: offset + 10 * count]
     ends = np.flatnonzero((tail & 0x80) == 0)
     if len(ends) < count:
         raise ValueError("varint stream truncated")

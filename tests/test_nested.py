@@ -128,3 +128,37 @@ def test_stripe_pruning(spark):
     expected = df.filter(F.col("conv_id") == target).count()
     assert out.count() == expected
     stripes.unpersist()
+
+
+def test_streaming_incremental_encode(spark, tmp_path):
+    """readStream -> foreachBatch stripe-encode -> append; decode of the
+    accumulated sink equals the union of all ingested files."""
+    from pyspark.sql import functions as F
+
+    from goorc_spark import streaming, transcripts as tx
+
+    src = tmp_path / "in"
+    out = tmp_path / "stripes"
+    ck = tmp_path / "ck"
+    full = tx.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    spec = engine.spec_from_schema(full.schema)
+    # two "arrivals"
+    half = F.crc32(F.col("conv_id")) % 2 == 0
+    full.filter(half).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(full.schema).parquet(str(src))
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              partitions=4, run_id="st")
+    q = streaming.stream_encode(stream, str(out), str(ck), cfg)
+    q.awaitTermination(120)
+    full.filter(~half).write.mode("append").parquet(str(src))
+    q2 = streaming.stream_encode(
+        spark.readStream.schema(full.schema).parquet(str(src)),
+        str(out), str(ck), cfg)
+    q2.awaitTermination(120)
+    stripes = spark.read.parquet(str(out))
+    assert stripes.select("batch_id").distinct().count() >= 2
+    decoded = engine.decode_df(stripes, spec)
+    assert decoded.count() == full.count()
+    a = sorted(str(r) for r in decoded.collect())
+    b = sorted(str(r) for r in full.collect())
+    assert a == b

@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(s, d), k=3),
         # -- text analysis -----------------------------------------------
         "text_token_stats": lambda s, d: text.token_stats(_docs(s, d)),
+        "text_bpe_tokens": lambda s, d: text.bpe_token_stats(_docs(s, d)),
         "text_quality_score": lambda s, d: text.quality_score(_docs(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: text.fingerprint(_docs(s, d), shingle=8),
@@ -288,6 +289,19 @@ SELECT doc_id,
        CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
            AS INTEGER) AS n_distinct_tokens
 FROM documents
+""",
+        "text_bpe_tokens": r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]') AS toks,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_bpe_tokens,
+       round(n_chars / greatest(len(toks), 1), 6) AS chars_per_token
+FROM t
 """,
         "text_quality_score": f"""
 WITH base AS (

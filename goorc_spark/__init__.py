@@ -2,8 +2,8 @@
 
 Re-expresses the encoding repertoire of the reference Go ORC library
 (PatrickHuang888/goorc) as vectorized numpy kernels driven from Spark
-``mapInPandas`` stages, with a per-stripe codec auto-selector the reference
-lacks. Nothing here is a translation of the reference's Go code: the wire
+``mapInArrow`` stages (zero-copy Arrow buffer extraction), with a per-stripe
+codec auto-selector the reference lacks. Nothing here is a translation of the reference's Go code: the wire
 formats are implemented from the public ORC v1 specification, pinned by the
 reference's published unit-test vectors (ported as pytest fixtures in
 ``tests/``).
@@ -12,12 +12,16 @@ Layout
 ------
 ``goorc_spark.codecs``      pure-numpy codec kernels (RLEv2, byte/bool RLE,
                             varint/zigzag, bitpack, dictionary, FSST, floats,
-                            timestamps, zlib chunk container)
+                            timestamps, zstd/zlib/lz4 chunk container)
 ``goorc_spark.stats``       per-chunk column statistics (feed the selector)
 ``goorc_spark.selector``    codec auto-selection rules
 ``goorc_spark.stripe``      stripe assembly: pandas batch <-> blob + metadata
+``goorc_spark.arrow_stripe`` Arrow-native stripe assembly (the engine's hot
+                            path; same wire format as ``stripe``), incl.
+                            nested struct/list/map columns
 ``goorc_spark.engine``      Spark pipeline: partitioning, salting, encode,
-                            decode, lineage/resume
+                            decode, projection, pruning, lineage/resume
+``goorc_spark.streaming``   Structured Streaming incremental encode
 ``goorc_spark.transcripts`` deterministic transcripts table (synthetic +
                             derived-from-events with a DuckDB oracle twin)
 ``goorc_spark.pipeline_ops`` training-data ops: dedup, similarity, text

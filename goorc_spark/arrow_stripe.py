@@ -107,11 +107,16 @@ def encode_stripe_table(
     compression: str = chunk.DEFAULT,
     chunk_size: int = chunk.DEFAULT_CHUNK_SIZE,
     policy: str = "balanced",
+    cache: dict | None = None,
 ) -> tuple[bytes, dict]:
+    """`cache` (optional, per-task) reuses codec decisions and trained FSST
+    symbol tables across consecutive stripes of one partition — the data is
+    a uniform hash-sample of the same keys, so the table stays good, and
+    the stored-original fallback bounds any drift."""
     blob = bytearray()
     cols_meta = [
         _write_column(_as_array(table.column(col["name"])), col, blob,
-                      compression, chunk_size, policy)
+                      compression, chunk_size, policy, cache)
         for col in spec
     ]
     meta = {
@@ -125,7 +130,8 @@ def encode_stripe_table(
 
 
 def _write_column(arr: pa.Array, col: dict, blob: bytearray,
-                  compression: str, chunk_size: int, policy: str) -> dict:
+                  compression: str, chunk_size: int, policy: str,
+                  cache: dict | None = None) -> dict:
     """Recursive column writer: scalar kinds produce value streams; nested
     kinds (struct/list/map — the reference's C11-C13 stream compositions:
     PRESENT-only for struct, PRESENT+LENGTH for list/map,
@@ -141,7 +147,7 @@ def _write_column(arr: pa.Array, col: dict, blob: bytearray,
         streams: list = []
         children_meta = [
             _write_column(_as_array(vals.field(i)), child, blob,
-                          compression, chunk_size, policy)
+                          compression, chunk_size, policy, cache)
             for i, child in enumerate(col["children"])
         ]
         col_meta: dict = {"codec": "struct"}
@@ -152,12 +158,12 @@ def _write_column(arr: pa.Array, col: dict, blob: bytearray,
             else [col["key"], col["value"]]
         children_meta = [
             _write_column(_as_array(kid), cs, blob, compression, chunk_size,
-                          policy)
+                          policy, cache)
             for kid, cs in zip(kids, childspecs)
         ]
         col_meta = {"codec": kind}
     else:
-        streams, col_meta = _encode_column_arrow(vals, col, policy)
+        streams, col_meta = _encode_column_arrow(vals, col, policy, cache)
 
     if has_nulls:
         streams.insert(0, ("PRESENT", boolrle.encode(valid)))
@@ -185,7 +191,8 @@ def _np_int64(vals: pa.Array) -> np.ndarray:
     return np.asarray(vals.cast(pa.int64(), safe=False))
 
 
-def _encode_column_arrow(vals: pa.Array, col: dict, policy: str):
+def _encode_column_arrow(vals: pa.Array, col: dict, policy: str,
+                         cache: dict | None = None):
     kind = col["kind"]
     info: dict = {}
     if kind in INT_CAST:
@@ -246,7 +253,7 @@ def _encode_column_arrow(vals: pa.Array, col: dict, policy: str):
         ], {"codec": "raw", "stats": {"count": len(vals),
                                       "total_len": int(lengths.sum()) if len(vals) else 0}}
     if kind == "string":
-        return _encode_string_arrow(vals, policy)
+        return _encode_string_arrow(vals, policy, cache, col["name"])
     raise NotImplementedError(f"column kind {kind!r}")
 
 
@@ -272,7 +279,8 @@ def _string_stats_arrow(vals: pa.Array, lengths: np.ndarray,
     }
 
 
-def _encode_string_arrow(vals: pa.Array, policy: str):
+def _encode_string_arrow(vals: pa.Array, policy: str,
+                         cache: dict | None = None, colname: str = ""):
     info: dict = {}
     if len(vals) == 0:
         empty = np.empty(0, np.uint64)
@@ -284,7 +292,16 @@ def _encode_string_arrow(vals: pa.Array, policy: str):
     contents, lengths = _varwidth_parts(vals)
     dict_arr = _as_array(pc.dictionary_encode(vals))
     st = _string_stats_arrow(vals, lengths, dict_arr)
-    codec = _select_codec_arrow(contents, st, policy)
+    ckey = ("codec", colname)
+    if cache is not None and ckey in cache:
+        codec = cache[ckey]
+        # dict stays data-dependent: fall back if cardinality exploded
+        if codec == "dict" and st["distinct"] > selector.DICT_MAX_ENTRIES:
+            codec = _select_codec_arrow(contents, st, policy)
+    else:
+        codec = _select_codec_arrow(contents, st, policy)
+        if cache is not None:
+            cache[ckey] = codec
     if codec == "dict":
         d = _as_array(dict_arr.dictionary)
         sort_idx = np.asarray(pc.sort_indices(d)).astype(np.int64)
@@ -301,7 +318,14 @@ def _encode_string_arrow(vals: pa.Array, policy: str):
         return streams, {"codec": "dict", "dict_size": len(sorted_dict),
                          "sub_encodings": info, "stats": st}
     if codec == "fsst":
-        data = fsst.compress(contents.tobytes())
+        table = None
+        if cache is not None:
+            table = cache.get(("fsst_table", colname))
+        if table is None:
+            table = fsst.train(contents.tobytes())
+            if cache is not None:
+                cache[("fsst_table", colname)] = table
+        data = fsst.compress(contents.tobytes(), table)
         if len(data) >= len(contents):  # stored-original fallback
             codec, data = "raw", contents.tobytes()
     else:

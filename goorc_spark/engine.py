@@ -102,6 +102,10 @@ def _spec_from_type(name: str, dt: T.DataType) -> dict:
         return {"name": name, "kind": "struct",
                 "children": [_spec_from_type(f.name, f.dataType)
                              for f in dt.fields]}
+    if isinstance(dt, (T.VarcharType, T.CharType)):
+        # reference falls through CHAR/VARCHAR to the string writer
+        # (/root/reference/orc/column/package.go:224-235)
+        return {"name": name, "kind": "string"}
     if type(dt) in _SPARK_TO_KIND:
         return {"name": name, "kind": _SPARK_TO_KIND[type(dt)]}
     raise NotImplementedError(f"unsupported Spark type {dt} for {name}")
@@ -153,6 +157,7 @@ def _make_encoder(spec: list[dict], cfg: EncodeConfig):
         pending: list = []
         pending_bytes = 0
         seq = 0
+        codec_cache: dict = {}  # per-task: codec choices + FSST tables
 
         def flush():
             nonlocal pending, pending_bytes, seq
@@ -164,7 +169,8 @@ def _make_encoder(spec: list[dict], cfg: EncodeConfig):
             pending, pending_bytes = [], 0
             blob, meta = arrow_stripe.encode_stripe_table(
                 table, spec, compression=cfg.compression,
-                chunk_size=cfg.chunk_size, policy=cfg.policy)
+                chunk_size=cfg.chunk_size, policy=cfg.policy,
+                cache=codec_cache)
             ms = (time.monotonic() - t0) * 1000
             kcol = table.column(key) if key and table.num_rows else None
             kmin = str(kcol[0].as_py()) if kcol is not None else None

@@ -64,11 +64,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
 def minhash_signatures(docs: DataFrame, k: int = 12, shingle: int = 6) -> DataFrame:
     """k-permutation MinHash via seeded md5 — md5(seed || shingle) is a
     deterministic 'permutation' reproducible in any SQL engine."""
-    # one pass over exploded distinct shingles: k seeded hashes per shingle,
-    # then a map-side-combining min-agg per doc. (The naive form — k
-    # array_min(transform(shingles)) projections — makes Catalyst inline the
-    # shingle build k times; this shape computes shingles once and scales to
-    # billions of docs as a single shuffle of k x 16-byte partial minima.)
+    # one pass over exploded distinct shingles: k seeded hashes per shingle
+    # occurrence, min-aggregated per doc with map-side combine. (The naive
+    # form — k array_min(transform(shingles)) projections — makes Catalyst
+    # inline the shingle build k times; this shape computes shingles once
+    # and shuffles only k x 16-byte partial minima per doc.)
     sh = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"), shingle)).alias("s"))
     aggs = [
@@ -100,11 +100,21 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
             for b in range(bands)
         ])).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bh")
-    a, b = banded.alias("a"), banded.alias("b")
+    # group each band-bucket and expand sorted doc-id combinations JVM-side:
+    # one pass over signatures (a self-join would recompute them for both
+    # sides) and one shuffle keyed by (band, bh)
+    buckets = banded.groupBy("band", "bh") \
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds")) \
+        .filter(F.size("ds") > 1)
+    ds = F.col("ds")
+    pair_structs = F.flatten(F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -40,6 +40,24 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+BPE_ISH = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """BPE-style pre-tokenization count: letter runs, digit runs, and single
+    punctuation marks (the GPT-2-ish split), plus a chars-per-token signal.
+    Pure regexp_extract_all — JVM-side, and reproducible in RE2 engines."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0)
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+        F.round(F.length("text") / F.greatest(n, F.lit(1)), 6)
+         .alias("chars_per_token"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / punctuation / stopword quality signals, fully JVM-side."""
     text = F.col("text")

@@ -1,0 +1,93 @@
+"""Property-based round-trips (hypothesis) — decode(encode(x)) == x across
+the codec kernels for arbitrary inputs. The reference has no randomized
+tests (SURVEY.md §5); these pin the corner cases its hand-written vectors
+miss (empty runs, extreme values, width boundaries, run-length boundaries).
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from goorc_spark.codecs import boolrle, byterle, chunk, fsst, rlev2
+from goorc_spark.codecs.primitives import (
+    decode_svarints,
+    decode_uvarints,
+    encode_svarints,
+    encode_uvarints,
+)
+
+_SMALL = settings(max_examples=60, deadline=None)
+
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+u64 = st.integers(min_value=0, max_value=2**64 - 1)
+
+# mixtures that exercise every RLEv2 sub-encoding: runs, monotone ramps,
+# small-range values (direct), and huge outliers (patched base)
+int_arrays = st.one_of(
+    st.lists(i64, max_size=1300),
+    st.lists(st.integers(-100, 100), max_size=1300),
+    st.lists(st.sampled_from([0, 1, 7, 7, 7, 7, 1 << 40]), max_size=1300),
+    st.integers(0, 1300).map(lambda n: list(range(n))),
+)
+
+
+@_SMALL
+@given(int_arrays)
+def test_rlev2_signed_roundtrip(vals):
+    v = np.array(vals, dtype=np.int64)
+    enc = rlev2.encode(v, signed=True)
+    np.testing.assert_array_equal(rlev2.decode(enc, len(v), signed=True), v)
+
+
+@_SMALL
+@given(st.lists(u64, max_size=1300))
+def test_rlev2_unsigned_roundtrip(vals):
+    v = np.array(vals, dtype=np.uint64)
+    enc = rlev2.encode(v, signed=False)
+    np.testing.assert_array_equal(rlev2.decode(enc, len(v), signed=False), v)
+
+
+@_SMALL
+@given(st.lists(st.integers(0, 255), max_size=400))
+def test_byterle_roundtrip(vals):
+    v = np.array(vals, dtype=np.uint8)
+    np.testing.assert_array_equal(byterle.decode(byterle.encode(v), len(v)), v)
+
+
+@_SMALL
+@given(st.lists(st.booleans(), max_size=700))
+def test_boolrle_roundtrip(vals):
+    v = np.array(vals, dtype=bool)
+    np.testing.assert_array_equal(boolrle.decode(boolrle.encode(v), len(v)), v)
+
+
+@_SMALL
+@given(st.binary(max_size=5000))
+def test_fsst_roundtrip(data):
+    assert fsst.decompress(fsst.compress(data)) == data
+
+
+@_SMALL
+@given(st.binary(max_size=4000),
+       st.sampled_from([chunk.ZLIB, chunk.ZSTD, chunk.LZ4, chunk.NONE]))
+def test_chunk_roundtrip(data, kind):
+    assert chunk.decompress(chunk.compress(data, kind, chunk_size=512), kind) == data
+
+
+@_SMALL
+@given(st.lists(u64, max_size=300))
+def test_uvarint_roundtrip(vals):
+    v = np.array(vals, dtype=np.uint64)
+    enc = encode_uvarints(v)
+    out, off = decode_uvarints(enc, len(v))
+    np.testing.assert_array_equal(out, v)
+    assert off == len(enc)
+
+
+@_SMALL
+@given(st.lists(i64, max_size=300))
+def test_svarint_roundtrip(vals):
+    v = np.array(vals, dtype=np.int64)
+    enc = encode_svarints(v)
+    out, off = decode_svarints(enc, len(v))
+    np.testing.assert_array_equal(out, v)
+    assert off == len(enc)

@@ -191,6 +191,23 @@ def scaling_run(n_workers: int, partitions: int) -> dict:
     raise RuntimeError(f"scale probe produced no result: {out.stderr[-3000:]}")
 
 
+def local_scaling_run(cores: int, partitions: int) -> dict:
+    """Fallback when standalone daemons can't start: same job on local[N]
+    (single shared JVM — understates scaling; see BASELINE.md notes)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--scale-probe", f"local[{cores}]",
+         str(cores // CORES_PER_EXECUTOR or 1), str(partitions), "2"],
+        capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            d = json.loads(line)
+            d["cores"] = cores
+            return d
+    raise RuntimeError(f"local scale probe failed: {out.stderr[-2000:]}")
+
+
 def scale_probe(master_url: str, n_workers: int, partitions: int,
                 trials: int = 3) -> None:
     """Subprocess entry: synthesize, cache, warm workers, time the encode."""
@@ -314,12 +331,20 @@ def main() -> None:
     # Measured in this regime: py core-seconds identical at both sizes.
     n_exec = 1
     n4_exec = 4 * n_exec
-    small = scaling_run(n_exec, partitions=16 * n4_exec)
-    big = scaling_run(n4_exec, partitions=16 * n4_exec)
-    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / (n4_exec / n_exec)
-    extras["scaling"] = {"n": small, "4n": big, "efficiency": round(eff, 3)}
-    queries[f"encode_cluster_{n_exec}exec"] = small["sec"]
-    queries[f"encode_cluster_{n4_exec}exec"] = big["sec"]
+    try:
+        small = scaling_run(n_exec, partitions=16 * n4_exec)
+        big = scaling_run(n4_exec, partitions=16 * n4_exec)
+        method = "standalone-cluster"
+    except Exception as e:  # no ports / subprocess limits: degrade, don't die
+        sys.stderr.write(f"cluster scaling failed ({e}); local[N] fallback\n")
+        small = local_scaling_run(2, partitions=16 * n4_exec)
+        big = local_scaling_run(8, partitions=16 * n4_exec)
+        method = "local-mode-fallback"
+    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / 4.0
+    extras["scaling"] = {"n": small, "4n": big, "efficiency": round(eff, 3),
+                         "method": method}
+    queries["encode_scale_n"] = small["sec"]
+    queries["encode_scale_4n"] = big["sec"]
 
     # kernel-level scaling (multiprocessing, no JVM sharing cores): the
     # contention-free view of the same codec work at machine scale.

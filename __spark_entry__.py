@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), k=12, bands=4, shingle=6),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_simhash_near": lambda s, d: dedup.simhash_near_dup(
+            _docs(s, d), max_hamming=8),
         # threshold 0.35: the synthetic embeddings' cosine distribution tops
         # out at ~0.51, so 0.35 yields a real (non-empty) near-dup set
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_dup(

@@ -10,7 +10,6 @@ key-equi joins that AQE can re-plan for skew.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -119,39 +118,69 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
     )
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens. Bit arithmetic over thousands
-    of token hashes is the genuinely non-SQL op here, so it runs as an
-    Arrow-batched pandas UDF (vectorized numpy, no per-row Python loops over
-    tokens x bits)."""
-    import hashlib
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, entirely with built-ins:
+    explode tokens -> xxhash64 -> 64 bit-vote sums per doc -> reassembled
+    signature. One shuffle keyed by doc_id; whole-stage codegen end to end
+    (an earlier variant looped per doc inside a pandas UDF)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1)
+               .otherwise(-1)).alias(f"b{j}")
+        for j in range(64)
+    ])
+    sig = None
+    for j in range(64):
+        one = (F.lit(-(2 ** 63)).cast("long") if j == 63
+               else F.shiftleft(F.lit(1).cast("long"), j))
+        term = F.when(F.col(f"b{j}") > 0, one).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else (sig + term)
+    hashed = votes.select("doc_id", sig.alias("simhash64"))
+    # docs with no tokens keep a deterministic 0 signature
+    return docs.select("doc_id").join(hashed, "doc_id", "left") \
+        .select("doc_id", F.coalesce("simhash64", F.lit(0).cast("long"))
+                .alias("simhash64"))
 
-    import numpy as np
-    import pandas as pd
 
-    # real (non-string) annotations: pandas_udf needs them resolvable even
-    # under `from __future__ import annotations`
-    def _simhash_impl(texts: "pd.Series") -> "pd.Series":
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = t.split()
-            if not toks:
-                continue
-            hs = np.frombuffer(
-                b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-                dtype=np.uint64,
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 64-bit signature into 4x16-bit
+    keys (a pair within Hamming distance 3 must agree on at least one band
+    by pigeonhole), bucket-join candidates, verify with bit_count(xor).
+    Pure built-ins; the shuffle carries (band, key) buckets only."""
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id", "simhash64",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash64"), 16 * b)
+                 .bitwiseAND(F.lit(0xFFFF).cast("long")).alias("bk"),
             )
-            b_mat = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            votes = b_mat.astype(np.int64).sum(axis=0) * 2 - len(hs)
-            bits_ = (votes > 0).astype(np.uint64)
-            out[i] = (bits_ << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-        return pd.Series(out.astype(np.int64))
-
-    _simhash_impl.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    _simhash = F.pandas_udf(_simhash_impl, T.LongType())
-    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash64"))
+            for b in range(4)
+        ])).alias("x"),
+    ).select("doc_id", "simhash64", "x.band", "x.bk")
+    buckets = banded.groupBy("band", "bk").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "simhash64")))
+         .alias("ds")).filter(F.size("ds") > 1)
+    ds = F.col("ds")
+    pair_structs = F.flatten(F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
+            lambda y: F.struct(x["doc_id"].alias("doc_a"),
+                               y["doc_id"].alias("doc_b"),
+                               F.bit_count(x["simhash64"].bitwiseXOR(
+                                   y["simhash64"])).alias("hamming")))))
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:

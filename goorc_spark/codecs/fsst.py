@@ -199,18 +199,29 @@ def decompress(blob: bytes) -> bytes:
     esc_idx = np.flatnonzero(is_esc)
     is_operand[esc_idx + 1] = True
 
-    tok = np.flatnonzero(~is_operand)  # token start positions
+    tok = np.flatnonzero(~is_operand).astype(np.int32)  # token starts
     tok_is_esc = is_esc[tok]
-    tok_code = codes[tok].astype(np.int64)
-    out_lens = np.where(tok_is_esc, 1, lens[np.where(tok_is_esc, 0, tok_code)])
-    total = int(out_lens.sum())
-    offsets = np.concatenate(([0], np.cumsum(out_lens)[:-1]))
-    tok_idx = np.repeat(np.arange(len(tok)), out_lens)
-    intra = np.arange(total) - offsets[tok_idx]
+    tok_code = codes[tok].astype(np.int32)
+    out_lens = np.where(tok_is_esc, np.int32(1),
+                        lens.astype(np.int32)[np.where(tok_is_esc, 0, tok_code)])
+    n_tok = len(tok)
+    offsets = np.empty(n_tok, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(out_lens[:-1], out=offsets[1:])
+    total = int(offsets[-1]) + int(out_lens[-1]) if n_tok else 0
     out = np.empty(total, dtype=np.uint8)
-    esc_tok = tok_is_esc[tok_idx]
-    # literals: the byte after the escape
-    out[esc_tok] = codes[tok[tok_idx[esc_tok]] + 1]
-    ns = ~esc_tok
-    out[ns] = symdata[sym_off[tok_code[tok_idx[ns]]] + intra[ns]]
+    # escapes: the literal is the byte after the escape marker
+    out[offsets[tok_is_esc]] = codes[tok[tok_is_esc] + 1]
+    # symbols, grouped by length class: L token-sized gathers per class
+    # instead of per-output-byte index arrays (3-4 fewer full-size temps)
+    ns = ~tok_is_esc
+    codes_ns = tok_code[ns]
+    dst_ns = offsets[ns]
+    lens_ns = lens[codes_ns]
+    for L in np.unique(lens_ns):
+        m = lens_ns == L
+        dstL = dst_ns[m]
+        base = sym_off[codes_ns[m]]
+        for j in range(int(L)):
+            out[dstL + j] = symdata[base + j]
     return out.tobytes()

@@ -108,25 +108,107 @@ def encode_stripe_table(
     chunk_size: int = chunk.DEFAULT_CHUNK_SIZE,
     policy: str = "balanced",
     cache: dict | None = None,
+    rg_rows: int | None = None,
+    key_col: str | None = None,
+    ord_col: str | None = None,
 ) -> tuple[bytes, dict]:
     """`cache` (optional, per-task) reuses codec decisions and trained FSST
     symbol tables across consecutive stripes of one partition — the data is
     a uniform hash-sample of the same keys, so the table stays good, and
-    the stored-original fallback bounds any drift."""
+    the stored-original fallback bounds any drift.
+
+    `rg_rows` splits the stripe into row groups of that many rows, each
+    independently decodable (its own stream segments in the shared blob) and
+    carrying key/order min-max — the analog of the reference's row-index
+    stride + positions (/root/reference/orc/stream/writer.go:29-41,
+    pb/orc_proto.proto RowIndexEntry). Design difference, deliberate: the
+    reference records (chunk offset, decompressed offset, run offset)
+    triples into continuous streams; we restart codecs at group boundaries
+    so one offset suffices — a small compression cost (measured in
+    BASELINE.md) for a far simpler seek path. Codec choices + FSST tables
+    are shared across groups via `cache`, so the selector runs once."""
+    n = table.num_rows
+    if not rg_rows or n <= rg_rows:
+        blob = bytearray()
+        cols_meta = [
+            _write_column(_as_array(table.column(col["name"])), col, blob,
+                          compression, chunk_size, policy, cache)
+            for col in spec
+        ]
+        meta = {
+            "version": FORMAT_VERSION,
+            "n_rows": n,
+            "compression": compression,
+            "chunk_size": chunk_size,
+            "columns": cols_meta,
+        }
+        return bytes(blob), meta
+    cache = {} if cache is None else cache  # force sharing across groups
     blob = bytearray()
-    cols_meta = [
-        _write_column(_as_array(table.column(col["name"])), col, blob,
-                      compression, chunk_size, policy, cache)
-        for col in spec
-    ]
+    groups = []
+    for start in range(0, n, rg_rows):
+        sub = table.slice(start, min(rg_rows, n - start))
+        start_off = len(blob)
+        cols_meta = [
+            _write_column(_as_array(sub.column(col["name"])), col, blob,
+                          compression, chunk_size, policy, cache)
+            for col in spec
+        ]
+        g: dict = {"n_rows": sub.num_rows, "offset": start_off,
+                   "length": len(blob) - start_off, "columns": cols_meta}
+        for label, cname in (("key", key_col), ("ord", ord_col)):
+            if cname is not None and cname in sub.schema.names:
+                mm = pc.min_max(sub.column(cname))
+                g[f"{label}_min"] = mm["min"].as_py()
+                g[f"{label}_max"] = mm["max"].as_py()
+        groups.append(g)
     meta = {
         "version": FORMAT_VERSION,
-        "n_rows": table.num_rows,
+        "n_rows": n,
         "compression": compression,
         "chunk_size": chunk_size,
-        "columns": cols_meta,
+        "row_groups": groups,
     }
     return bytes(blob), meta
+
+
+def _coerce_bound(stored, probe):
+    """JSON round-trips datetimes/decimals as strings (json default=str);
+    compare in the stored domain — str() of both is order-preserving for
+    the supported key kinds (ISO timestamps, fixed-scale decimals)."""
+    if isinstance(stored, str) and not isinstance(probe, str):
+        return stored, str(probe)
+    return stored, probe
+
+
+def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
+                      ord_lo=None, ord_hi=None) -> list[int] | None:
+    """Indices of row groups whose [key_min,key_max] x [ord_min,ord_max]
+    ranges can contain the predicate. Returns None for single-group stripes
+    (old format: nothing to skip)."""
+    groups = meta.get("row_groups")
+    if groups is None:
+        return None
+    if key_value is not None:
+        key_lo = key_hi = key_value
+    sel = []
+    for i, g in enumerate(groups):
+        ok = True
+        if key_hi is not None and "key_min" in g and g["key_min"] is not None:
+            lo, p = _coerce_bound(g["key_min"], key_hi)
+            ok = ok and lo <= p
+        if key_lo is not None and "key_max" in g and g["key_max"] is not None:
+            hi, p = _coerce_bound(g["key_max"], key_lo)
+            ok = ok and hi >= p
+        if ord_hi is not None and g.get("ord_min") is not None:
+            lo, p = _coerce_bound(g["ord_min"], ord_hi)
+            ok = ok and lo <= p
+        if ord_lo is not None and g.get("ord_max") is not None:
+            hi, p = _coerce_bound(g["ord_max"], ord_lo)
+            ok = ok and hi >= p
+        if ok:
+            sel.append(i)
+    return sel
 
 
 def _write_column(arr: pa.Array, col: dict, blob: bytearray,
@@ -191,6 +273,41 @@ def _np_int64(vals: pa.Array) -> np.ndarray:
     return np.asarray(vals.cast(pa.int64(), safe=False))
 
 
+def _decimal_limbs(vals: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lo uint64, hi int64) limbs of a no-null decimal128 array, straight
+    from the 16-byte little-endian values buffer — no per-row Python."""
+    n = len(vals)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    if not pa.types.is_decimal(vals.type):
+        raise TypeError(f"expected decimal128 array, got {vals.type}")
+    raw = np.frombuffer(vals.buffers()[1], dtype=np.uint64,
+                        count=2 * n, offset=16 * vals.offset).reshape(-1, 2)
+    return raw[:, 0].copy(), raw[:, 1].copy().view(np.int64)
+
+
+def _decimal_from_limbs(lo: np.ndarray, hi: np.ndarray,
+                        present: np.ndarray | None, n_rows: int,
+                        precision: int, scale: int) -> pa.Array:
+    """Rebuild a decimal128 array from limbs + null mask via raw buffers."""
+    if present is None:
+        full_lo, full_hi, validity, nulls = lo, hi, None, 0
+    else:
+        full_lo = np.zeros(n_rows, dtype=np.uint64)
+        full_hi = np.zeros(n_rows, dtype=np.int64)
+        full_lo[present] = lo
+        full_hi[present] = hi
+        validity = pa.py_buffer(
+            np.packbits(present, bitorder="little").tobytes())
+        nulls = int((~present).sum())
+    packed = np.empty((n_rows, 2), dtype=np.uint64)
+    packed[:, 0] = full_lo
+    packed[:, 1] = full_hi.view(np.uint64)
+    return pa.Array.from_buffers(
+        pa.decimal128(precision, scale), n_rows,
+        [validity, pa.py_buffer(packed.tobytes())], null_count=nulls)
+
+
 def _encode_column_arrow(vals: pa.Array, col: dict, policy: str,
                          cache: dict | None = None):
     kind = col["kind"]
@@ -235,15 +352,29 @@ def _encode_column_arrow(vals: pa.Array, col: dict, policy: str,
         }
     if kind == "decimal":
         scale = int(col.get("scale", 0))
-        mant64 = np.array([int(d.scaleb(scale).to_integral_value())
-                           for d in vals.to_pylist()], dtype=np.int64)
-        data = encode_svarints(mant64)
-        sec = rlev2.encode(np.full(len(mant64), scale, dtype=np.int64), signed=True)
-        return [("DATA", data), ("SECONDARY", sec)], {
-            "codec": "varint_decimal",
-            "precision": int(col.get("precision", 18)),
+        precision = int(col.get("precision", 18))
+        lo, hi = _decimal_limbs(vals)
+        sec = rlev2.encode(np.full(len(lo), scale, dtype=np.int64), signed=True)
+        if precision <= 18:
+            # mantissa fits the low limb (reference decimal64 parity:
+            # signed varint DATA + RLEv2 scale SECONDARY,
+            # /root/reference/orc/column/decimal.go:32-58)
+            mant64 = lo.view(np.int64)
+            return [("DATA", encode_svarints(mant64)), ("SECONDARY", sec)], {
+                "codec": "varint_decimal",
+                "precision": precision,
+                "scale": scale,
+                "stats": stx.int_stats(mant64) | {"scale": scale},
+            }
+        # decimal128 (beyond the reference's 64-bit ceiling): two RLEv2
+        # limb streams — hi signed, lo unsigned
+        return [("DATA", rlev2.encode(hi, signed=True)),
+                ("LO", rlev2.encode(lo, signed=False)),
+                ("SECONDARY", sec)], {
+            "codec": "rlev2_decimal128",
+            "precision": precision,
             "scale": scale,
-            "stats": stx.int_stats(mant64) | {"scale": scale},
+            "stats": {"count": int(len(lo)), "scale": scale},
         }
     if kind == "binary":
         contents, lengths = _varwidth_parts(vals)
@@ -355,22 +486,56 @@ def _select_codec_arrow(contents: np.ndarray, st: dict, policy: str) -> str:
 # ----------------------------------------------------------------- decode --
 
 
-def decode_stripe_batch(blob: bytes, meta: dict,
-                        tz: str | None = None,
-                        include: list[str] | None = None) -> pa.RecordBatch:
-    """Decode a stripe. `include` projects columns: only the named columns'
-    streams are decompressed/decoded (the reference's include-list,
-    /root/reference/orc/stripe.go:246-261 — skipped columns cost nothing)."""
-    n_rows = meta["n_rows"]
-    comp = meta["compression"]
-    mv = memoryview(blob)
+def _child_offsets(lengths: np.ndarray) -> tuple[np.ndarray, bool]:
+    """List/map child offsets with int64 accumulation — an int32 cumsum
+    would silently wrap when a stripe's child-element total exceeds 2^31
+    (latent at 256 MB stripes with small element types). Returns
+    (offsets int64, wide) where wide=True means the total needs 64-bit
+    offsets (LargeListArray)."""
+    n = len(lengths)
+    offsets64 = np.empty(n + 1, dtype=np.int64)
+    offsets64[0] = 0
+    np.cumsum(lengths.astype(np.int64), out=offsets64[1:])
+    return offsets64, bool(offsets64[-1] >= (1 << 31))
+
+
+def _decode_group(mv, cols: list[dict], n_rows: int, comp: str,
+                  tz: str | None, include: list[str] | None) -> pa.RecordBatch:
     arrays, names = [], []
-    for col in meta["columns"]:
+    for col in cols:
         if include is not None and col["name"] not in include:
             continue
         arrays.append(_read_column(mv, col, n_rows, comp, tz))
         names.append(col["name"])
     return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def decode_stripe_batch(blob: bytes, meta: dict,
+                        tz: str | None = None,
+                        include: list[str] | None = None,
+                        rg_sel: list[int] | None = None) -> pa.RecordBatch:
+    """Decode a stripe. `include` projects columns: only the named columns'
+    streams are decompressed/decoded (the reference's include-list,
+    /root/reference/orc/stripe.go:246-261 — skipped columns cost nothing).
+    `rg_sel` restricts a row-grouped stripe to those group indices: skipped
+    groups' stream bytes are never touched (the reference's Seek/Skip,
+    orc/stripe.go:369-388)."""
+    comp = meta["compression"]
+    mv = memoryview(blob)
+    groups = meta.get("row_groups")
+    if groups is None:
+        return _decode_group(mv, meta["columns"], meta["n_rows"], comp, tz,
+                             include)
+    idxs = range(len(groups)) if rg_sel is None else rg_sel
+    batches = [
+        _decode_group(mv, groups[i]["columns"], groups[i]["n_rows"], comp,
+                      tz, include)
+        for i in idxs
+    ]
+    if not batches:
+        raise ValueError("rg_sel selected no row groups")
+    return pa.Table.from_batches(batches).combine_chunks().to_batches()[0] \
+        if len(batches) > 1 else batches[0]
 
 
 def _scatter_nulls(vals: pa.Array, present: np.ndarray | None,
@@ -410,19 +575,28 @@ def _read_column(mv, col: dict, n_rows: int, comp: str,
         return _scatter_nulls(vals, present, n_rows)
     if kind in ("list", "map"):
         lengths = rlev2.decode(streams["LENGTH"], n_vals, signed=False)
-        offsets = np.empty(n_vals + 1, dtype=np.int32)
-        offsets[0] = 0
-        np.cumsum(lengths.astype(np.int32), out=offsets[1:])
+        offsets64, wide = _child_offsets(lengths)
         if kind == "list":
             child = _read_column(mv, col["children"][0],
                                  col["children"][0]["n_values"], comp, tz)
-            vals = pa.ListArray.from_arrays(pa.array(offsets), child)
+            if wide:
+                vals = pa.LargeListArray.from_arrays(pa.array(offsets64), child)
+            else:
+                vals = pa.ListArray.from_arrays(
+                    pa.array(offsets64.astype(np.int32)), child)
         else:
+            if wide:
+                raise ValueError(
+                    f"map column {col['name']!r} has {int(offsets64[-1])} "
+                    "child entries "
+                    ">= 2^31 in one stripe; re-encode with a smaller "
+                    "stripe_bytes/rg_rows (Arrow MapArray offsets are int32)")
             keys = _read_column(mv, col["children"][0],
                                 col["children"][0]["n_values"], comp, tz)
             items = _read_column(mv, col["children"][1],
                                  col["children"][1]["n_values"], comp, tz)
-            vals = pa.MapArray.from_arrays(pa.array(offsets), keys, items)
+            vals = pa.MapArray.from_arrays(
+                pa.array(offsets64.astype(np.int32)), keys, items)
         return _scatter_nulls(vals, present, n_rows)
     return _decode_column_arrow(streams, col, n_vals, present, n_rows, tz)
 
@@ -496,17 +670,16 @@ def _decode_column_arrow(streams: dict, col: dict, n: int,
             else pa.timestamp("us")
         return pa.array(full, mask=mask).cast(typ)
     if kind == "decimal":
-        mant, _ = decode_svarints(streams["DATA"], n)
-        scales = rlev2.decode(streams["SECONDARY"], n, signed=True)
-        import decimal as _dec
-
-        vals = np.array([_dec.Decimal(int(m)).scaleb(-int(s))
-                         for m, s in zip(mant, scales)], dtype=object)
-        full = np.full(n_rows, None, dtype=object)
-        full[present if present is not None else slice(None)] = vals
-        return pa.array(full.tolist(),
-                        type=pa.decimal128(int(col.get("precision", 18)),
-                                           int(col.get("scale", 0))))
+        precision = int(col.get("precision", 18))
+        scale = int(col.get("scale", 0))
+        if codec == "rlev2_decimal128":
+            hi = rlev2.decode(streams["DATA"], n, signed=True)
+            lo = rlev2.decode(streams["LO"], n, signed=False).view(np.uint64)
+        else:
+            mant, _ = decode_svarints(streams["DATA"], n)
+            lo = mant.view(np.uint64)
+            hi = mant >> np.int64(63)  # sign extension (-1 / 0)
+        return _decimal_from_limbs(lo, hi, present, n_rows, precision, scale)
     if kind == "binary":
         lengths = rlev2.decode(streams["LENGTH"], n, signed=False)
         return _varwidth_array(streams["DATA"], lengths, present, n_rows,

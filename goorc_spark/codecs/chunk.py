@@ -33,6 +33,17 @@ LZ4 = "lz4"
 
 DEFAULT = ZSTD if _ZSTD is not None else ZLIB
 
+# Hard cap from the 3-byte framing: a stored-original chunk's header packs
+# (raw_len << 1) | 1 into 3 bytes, so raw chunks must stay < 2^23 bytes.
+MAX_CHUNK_SIZE = (1 << 23) - 1
+
+
+def validate_chunk_size(chunk_size: int) -> None:
+    if not (0 < chunk_size <= MAX_CHUNK_SIZE):
+        raise ValueError(
+            f"chunk_size {chunk_size} out of range (1..{MAX_CHUNK_SIZE}): "
+            "the 3-byte ORC chunk header caps raw chunk length at 2^23-1")
+
 
 def _compress_one(raw: bytes, kind: str, level: int) -> bytes:
     if kind == ZLIB:
@@ -61,6 +72,7 @@ def compress(data: bytes, kind: str = ZLIB, chunk_size: int = DEFAULT_CHUNK_SIZE
     the exact decompressed size)."""
     if kind == NONE:
         return data
+    validate_chunk_size(chunk_size)
     sized = kind in (ZSTD, LZ4)
     out = bytearray()
     for pos in range(0, len(data), chunk_size):

@@ -36,20 +36,28 @@ from goorc_spark.codecs import chunk
 
 SALT_COL = "__gsalt"
 
-STRIPE_SCHEMA = T.StructType([
-    T.StructField("stripe_id", T.StringType(), False),
-    T.StructField("run_id", T.StringType(), False),
-    T.StructField("part_id", T.IntegerType(), False),
-    T.StructField("seq", T.IntegerType(), False),
-    T.StructField("n_rows", T.LongType(), False),
-    T.StructField("raw_bytes", T.LongType(), False),
-    T.StructField("enc_bytes", T.LongType(), False),
-    T.StructField("key_min", T.StringType(), True),
-    T.StructField("key_max", T.StringType(), True),
-    T.StructField("encode_ms", T.DoubleType(), False),
-    T.StructField("meta", T.StringType(), False),
-    T.StructField("blob", T.BinaryType(), False),
-])
+def stripe_schema(key_type: T.DataType | None = None) -> T.StructType:
+    """Stripe-table schema; key_min/key_max carry the key column's NATIVE
+    type so prune_stripes comparisons are typed (a stringified int key would
+    compare lexicographically and prune wrong stripes)."""
+    kt = key_type or T.StringType()
+    return T.StructType([
+        T.StructField("stripe_id", T.StringType(), False),
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("enc_bytes", T.LongType(), False),
+        T.StructField("key_min", kt, True),
+        T.StructField("key_max", kt, True),
+        T.StructField("encode_ms", T.DoubleType(), False),
+        T.StructField("meta", T.StringType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ])
+
+
+STRIPE_SCHEMA = stripe_schema()
 
 
 @dataclass
@@ -65,7 +73,14 @@ class EncodeConfig:
     bucket_rows: int = 250_000             # rows per salt bucket
     range_partition: bool = False          # range-cluster by key (narrow stripe
                                            # key ranges -> prune_stripes works)
+    rg_rows: int = 10_000                  # row-group stride: intra-stripe seek
+                                           # granularity (reference index stride,
+                                           # /root/reference/orc/config/opts.go:19);
+                                           # 0 disables (one group per stripe)
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+    def __post_init__(self) -> None:
+        chunk.validate_chunk_size(self.chunk_size)
 
 
 # ------------------------------------------------------------ schema spec --
@@ -145,10 +160,12 @@ def _make_encoder(spec: list[dict], cfg: EncodeConfig):
     stripe budget, encodes via arrow_stripe (zero-copy buffer extraction, no
     per-row Python), emits one stripe row per flush."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from goorc_spark import arrow_stripe
 
     key = cfg.key_col
+    ordc = cfg.order_cols[0] if cfg.order_cols else None
     names = [c["name"] for c in spec]
 
     def encode_stripes(batches):
@@ -170,11 +187,18 @@ def _make_encoder(spec: list[dict], cfg: EncodeConfig):
             blob, meta = arrow_stripe.encode_stripe_table(
                 table, spec, compression=cfg.compression,
                 chunk_size=cfg.chunk_size, policy=cfg.policy,
-                cache=codec_cache)
+                cache=codec_cache, rg_rows=cfg.rg_rows,
+                key_col=key, ord_col=ordc)
             ms = (time.monotonic() - t0) * 1000
-            kcol = table.column(key) if key and table.num_rows else None
-            kmin = str(kcol[0].as_py()) if kcol is not None else None
-            kmax = str(kcol[-1].as_py()) if kcol is not None else None
+            if key and table.num_rows:
+                # TRUE stripe key bounds (pc.min_max), valid even when the
+                # partition isn't sorted — first/last-row bounds would make
+                # prune_stripes silently drop covering stripes
+                mm = pc.min_max(table.column(key))
+                kmin = pa.array([mm["min"].as_py()], type=table.column(key).type)
+                kmax = pa.array([mm["max"].as_py()], type=table.column(key).type)
+            else:
+                kmin = kmax = pa.array([None], pa.string())
             row = pa.RecordBatch.from_pydict({
                 "stripe_id": [f"{cfg.run_id}-p{part_id:05d}-s{seq:05d}"],
                 "run_id": [cfg.run_id],
@@ -183,10 +207,10 @@ def _make_encoder(spec: list[dict], cfg: EncodeConfig):
                 "n_rows": pa.array([table.num_rows], pa.int64()),
                 "raw_bytes": pa.array([raw_bytes], pa.int64()),
                 "enc_bytes": pa.array([len(blob)], pa.int64()),
-                "key_min": [kmin],
-                "key_max": [kmax],
+                "key_min": kmin,
+                "key_max": kmax,
                 "encode_ms": pa.array([ms], pa.float64()),
-                "meta": [json.dumps(meta)],
+                "meta": [json.dumps(meta, default=str)],
                 "blob": pa.array([blob], pa.binary()),
             })
             seq += 1
@@ -242,9 +266,17 @@ def encode_df(df: DataFrame, cfg: EncodeConfig | None = None,
     cfg = cfg or EncodeConfig()
     spec = spec_from_schema(df.schema)
     n = partition_count(df, cfg)
+    key_type = df.schema[cfg.key_col].dataType if cfg.key_col else None
     if cfg.key_col:
         df = _with_salt(df, cfg)
         if pending_parts is not None:
+            if cfg.range_partition:
+                # hash-derived partition ids don't match repartitionByRange
+                # placement — a resumed range run would filter wrong rows
+                raise ValueError(
+                    "pending_parts resume requires hash partitioning "
+                    "(range_partition=False); range boundaries are not "
+                    "reproducible from lineage alone")
             pid = F.pmod(F.hash(F.col(cfg.key_col), F.col(SALT_COL)), F.lit(n))
             df = df.filter(pid.isin(pending_parts))
         if cfg.range_partition:
@@ -255,25 +287,33 @@ def encode_df(df: DataFrame, cfg: EncodeConfig | None = None,
             df = df.repartitionByRange(n, F.col(cfg.key_col), F.col(SALT_COL))
         else:
             df = df.repartition(n, F.col(cfg.key_col), F.col(SALT_COL))
-        if cfg.order_cols:
-            df = df.sortWithinPartitions(cfg.key_col, *cfg.order_cols)
+        # always sort when a key exists: stripe/row-group key ranges stay
+        # narrow and decode + sort restores source order deterministically
+        df = df.sortWithinPartitions(cfg.key_col, *cfg.order_cols)
     else:
         df = df.repartition(n)
-    return df.mapInArrow(_make_encoder(spec, cfg), schema=STRIPE_SCHEMA)
+    return df.mapInArrow(_make_encoder(spec, cfg), schema=stripe_schema(key_type))
 
 
 # ----------------------------------------------------------------- decode --
 
 
 def decode_df(stripes: DataFrame, spec: list[dict],
-              columns: list[str] | None = None) -> DataFrame:
+              columns: list[str] | None = None,
+              rg_predicate: dict | None = None) -> DataFrame:
     """Decode a stripe table back into rows (order: stripe order; sort by
     your key columns afterwards for the canonical view). Arrow-native: each
     stripe blob becomes one RecordBatch with no per-row Python.
 
     `columns` projects the decode: only those columns' streams are
     decompressed (the reference's BatchOption.Includes, column pruning at
-    the storage layer — Catalyst prunes the relational side on top)."""
+    the storage layer — Catalyst prunes the relational side on top).
+
+    `rg_predicate` (kwargs of arrow_stripe.select_row_groups) restricts the
+    decode to row groups whose key/order ranges overlap the predicate — the
+    reference's row-index seek/skip (/root/reference/orc/stripe.go:369-388)
+    at row-group granularity: non-covering groups' streams are never
+    decompressed."""
     if columns is not None:
         spec = [c for c in spec if c["name"] in columns]
     out_schema = schema_from_spec(spec)
@@ -288,12 +328,44 @@ def decode_df(stripes: DataFrame, spec: list[dict],
             blobs = rb.column("blob")
             for i, meta_json in enumerate(metas):
                 meta = json.loads(meta_json)
+                rg_sel = None
+                if rg_predicate:
+                    rg_sel = arrow_stripe.select_row_groups(meta, **rg_predicate)
+                    if not rg_sel and rg_sel is not None:
+                        continue
                 out = arrow_stripe.decode_stripe_batch(
-                    blobs[i].as_py(), meta, tz=tz, include=include)
+                    blobs[i].as_py(), meta, tz=tz, include=include,
+                    rg_sel=rg_sel)
                 yield out
 
     return stripes.select("meta", "blob").mapInArrow(decode_stripes,
                                                      schema=out_schema)
+
+
+def read_rows(stripes: DataFrame, spec: list[dict], key_col: str,
+              key_value, ord_col: str | None = None,
+              ord_lo=None, ord_hi=None,
+              columns: list[str] | None = None) -> DataFrame:
+    """Point/range read: the reference's Seek(row)+Skip path
+    (/root/reference/orc/reader.go:199-212, orc/stripe.go:369-388) expressed
+    over the stripe table. Three pruning levels, each cutting work before
+    the next: (1) stripe-level lineage range prune — skipped stripes' blob
+    column is never read off the parquet scan; (2) row-group index prune —
+    only covering groups' streams are decompressed; (3) an exact Catalyst
+    filter over the decoded rows."""
+    pruned = prune_stripes(stripes, key_value=key_value)
+    pred: dict = {"key_value": key_value}
+    if ord_lo is not None:
+        pred["ord_lo"] = ord_lo
+    if ord_hi is not None:
+        pred["ord_hi"] = ord_hi
+    out = decode_df(pruned, spec, columns=columns, rg_predicate=pred)
+    cond = F.col(key_col) == F.lit(key_value)
+    if ord_col is not None and ord_lo is not None:
+        cond = cond & (F.col(ord_col) >= F.lit(ord_lo))
+    if ord_col is not None and ord_hi is not None:
+        cond = cond & (F.col(ord_col) <= F.lit(ord_hi))
+    return out.filter(cond)
 
 
 # ---------------------------------------------------------------- lineage --

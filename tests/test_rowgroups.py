@@ -1,0 +1,178 @@
+"""Row-group index + point-read path (reference C17/C18/F6: row-index
+stride positions /root/reference/orc/stream/writer.go:29-41, Seek/Skip
+orc/reader.go:199-212, orc/stripe.go:369-388) and the round-2 engine fixes:
+true typed key bounds, decimal128, int64 child offsets, chunk_size cap.
+"""
+
+from __future__ import annotations
+
+import decimal
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from goorc_spark import arrow_stripe, engine, transcripts
+from goorc_spark.codecs import chunk
+
+
+def _table(n=25_000, seed=3):
+    rng = np.random.default_rng(seed)
+    conv = np.repeat(np.arange(n // 50), 50)
+    return pa.table({
+        "conv_id": pa.array([f"conv-{c:08d}" for c in conv]),
+        "turn_idx": pa.array(np.tile(np.arange(50, dtype=np.int32), n // 50)),
+        "val": pa.array(rng.integers(0, 1000, n)),
+    })
+
+
+SPEC = [{"name": "conv_id", "kind": "string"},
+        {"name": "turn_idx", "kind": "int"},
+        {"name": "val", "kind": "long"}]
+
+
+def test_rowgroup_roundtrip_and_meta():
+    t = _table()
+    blob, meta = arrow_stripe.encode_stripe_table(
+        t, SPEC, rg_rows=4000, key_col="conv_id", ord_col="turn_idx")
+    assert "row_groups" in meta and len(meta["row_groups"]) == 7
+    assert sum(g["n_rows"] for g in meta["row_groups"]) == t.num_rows
+    # groups carry key/ord ranges and disjoint blob segments
+    offs = [(g["offset"], g["offset"] + g["length"]) for g in meta["row_groups"]]
+    assert offs[0][0] == 0 and offs[-1][1] == len(blob)
+    for (a, b), (c, _) in zip(offs, offs[1:]):
+        assert b == c
+    out = arrow_stripe.decode_stripe_batch(blob, meta)
+    assert pa.Table.from_batches([out]).cast(t.schema).equals(t)
+
+
+def test_rowgroup_selection_reads_fewer_bytes():
+    t = _table()
+    blob, meta = arrow_stripe.encode_stripe_table(
+        t, SPEC, rg_rows=4000, key_col="conv_id", ord_col="turn_idx")
+    # meta survives the JSON round-trip the engine applies
+    meta = json.loads(json.dumps(meta, default=str))
+    target = "conv-00000123"
+    sel = arrow_stripe.select_row_groups(meta, key_value=target)
+    assert 0 < len(sel) < len(meta["row_groups"])
+    touched = sum(meta["row_groups"][i]["length"] for i in sel)
+    assert touched < len(blob) / 2, "seek must decode a fraction of the stripe"
+    out = arrow_stripe.decode_stripe_batch(blob, meta, rg_sel=sel)
+    got = pa.Table.from_batches([out])
+    mask = np.asarray(pa.compute.equal(got.column("conv_id"), target))
+    assert int(mask.sum()) == 50  # every row of the conversation is present
+
+
+def test_rowgroup_ord_range_selection():
+    t = _table()
+    blob, meta = arrow_stripe.encode_stripe_table(
+        t, SPEC, rg_rows=4000, key_col="conv_id", ord_col="turn_idx")
+    meta = json.loads(json.dumps(meta, default=str))
+    # every group spans turn_idx 0..49 (tiled), so ord pruning alone keeps
+    # all groups — conservative, never lossy
+    sel = arrow_stripe.select_row_groups(meta, ord_lo=10, ord_hi=20)
+    assert sel == list(range(len(meta["row_groups"])))
+    # impossible ord range prunes everything
+    assert arrow_stripe.select_row_groups(meta, ord_lo=99) == []
+
+
+def test_point_lookup_spark(spark):
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=32 * 1024 * 1024, partitions=2,
+                              rg_rows=500, run_id="seek")
+    stripes = engine.encode_df(df, cfg).cache()
+    target, hi = df.select("conv_id", "turn_idx") \
+        .orderBy("conv_id", "turn_idx").collect()[-1][:2]
+    got = engine.read_rows(stripes, transcripts.TRANSCRIPTS_SPEC,
+                           "conv_id", target, ord_col="turn_idx",
+                           ord_lo=0, ord_hi=int(hi))
+    want = df.filter(f"conv_id = '{target}'").count()
+    assert got.count() == want
+    # the covering row groups are a small fraction of all groups
+    metas = [json.loads(r["meta"]) for r in stripes.select("meta").collect()]
+    total = sum(len(m.get("row_groups", [0])) for m in metas)
+    touched = sum(len(arrow_stripe.select_row_groups(m, key_value=target) or [])
+                  for m in metas)
+    assert touched < total / 2
+    stripes.unpersist()
+
+
+def test_unsorted_encode_keeps_true_key_bounds(spark):
+    """order_cols=() no longer produces garbage lineage bounds: key_min/max
+    come from pc.min_max, so pruned lookups still find every row."""
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=(),
+                              partitions=4, run_id="nosort")
+    stripes = engine.encode_df(df, cfg).cache()
+    target = df.select("conv_id").first()[0]
+    pruned = engine.prune_stripes(stripes, key_value=target)
+    out = engine.decode_df(pruned, transcripts.TRANSCRIPTS_SPEC) \
+        .filter(f"conv_id = '{target}'")
+    assert out.count() == df.filter(f"conv_id = '{target}'").count()
+    stripes.unpersist()
+
+
+def test_typed_integer_key_bounds(spark):
+    """Integer keys prune numerically, not lexicographically ('9' > '10')."""
+    from pyspark.sql import functions as F
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    cfg = engine.EncodeConfig(key_col="k", order_cols=("v",), partitions=4,
+                              range_partition=True, run_id="intkey")
+    stripes = engine.encode_df(df, cfg).cache()
+    assert dict(stripes.dtypes)["key_min"] == "bigint"
+    pruned = engine.prune_stripes(stripes, key_value=9)
+    out = engine.decode_df(pruned, engine.spec_from_schema(df.schema))
+    assert out.filter("k = 9").count() == 1
+    stripes.unpersist()
+
+
+def test_decimal128_roundtrip():
+    big = [decimal.Decimal("123456789012345678901234.567890"),
+           decimal.Decimal("-98765432109876543210.000001"),
+           None,
+           decimal.Decimal("0.000000"),
+           decimal.Decimal("-1.100000")]
+    t = pa.table({"d": pa.array(big, type=pa.decimal128(38, 6))})
+    spec = [{"name": "d", "kind": "decimal", "precision": 38, "scale": 6}]
+    blob, meta = arrow_stripe.encode_stripe_table(t, spec)
+    assert meta["columns"][0]["codec"] == "rlev2_decimal128"
+    out = arrow_stripe.decode_stripe_batch(blob, meta)
+    assert out.column("d").to_pylist() == big
+
+
+def test_decimal64_vectorized_roundtrip():
+    vals = [decimal.Decimal("12345.67"), decimal.Decimal("-0.01"), None,
+            decimal.Decimal("9999999999999999.99")]
+    t = pa.table({"d": pa.array(vals, type=pa.decimal128(18, 2))})
+    spec = [{"name": "d", "kind": "decimal", "precision": 18, "scale": 2}]
+    blob, meta = arrow_stripe.encode_stripe_table(t, spec)
+    assert meta["columns"][0]["codec"] == "varint_decimal"
+    out = arrow_stripe.decode_stripe_batch(blob, meta)
+    assert out.column("d").to_pylist() == vals
+
+
+def test_child_offsets_int64_no_wrap():
+    lengths = np.array([1 << 30, 1 << 30, 1 << 30], dtype=np.uint64)
+    offsets, wide = arrow_stripe._child_offsets(lengths)
+    assert wide and offsets[-1] == 3 << 30 > (1 << 31)
+    offsets, wide = arrow_stripe._child_offsets(
+        np.array([10, 20], dtype=np.uint64))
+    assert not wide and list(offsets) == [0, 10, 30]
+
+
+def test_chunk_size_validation():
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunk.compress(b"x" * 10, chunk.ZSTD, chunk_size=1 << 24)
+    with pytest.raises(ValueError, match="chunk_size"):
+        engine.EncodeConfig(chunk_size=1 << 24)
+
+
+def test_resume_rejects_range_partition(spark):
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              range_partition=True, partitions=4)
+    with pytest.raises(ValueError, match="range"):
+        engine.encode_df(df, cfg, pending_parts=[0, 1])

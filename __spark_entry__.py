@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from goorc_spark import engine, transcripts
+from goorc_spark import allkinds, engine, transcripts
 from goorc_spark.pipeline_ops import dedup, multimodal, similarity, text
 
 
@@ -82,18 +82,52 @@ def _decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                             columns=["conv_id", "turn_idx", "text"])
 
 
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seek path (reference Seek(row)+Skip, orc/reader.go:199-212): stripe
+    prune -> row-group index prune -> exact filter, at a production-like
+    64 MB stripe size where decoding a whole stripe for a point read would
+    be the wrong plan. tests/test_rowgroups.py asserts the decoded-bytes
+    reduction; this query gates the answer itself."""
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=64 * 1024 * 1024, partitions=2,
+                              rg_rows=500, run_id="pl")
+    stripes = engine.encode_df(df, cfg)
+    return engine.read_rows(stripes, transcripts.TRANSCRIPTS_SPEC, "conv_id",
+                            "conv-00000001", ord_col="turn_idx",
+                            ord_lo=2, ord_hi=10)
+
+
+def _encode_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage invariants as a one-row boolean gate (rows conservation,
+    stripe-id uniqueness, positive sizes, per-partition seq contiguity) —
+    each is SQL-checkable against the source table, so the flagship lineage
+    path gets a real oracle instead of a rows-only check."""
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    lin = engine.lineage_view(engine.encode_df(df, _encode_cfg())).cache()
+    per_part = lin.groupBy("part_id").agg(
+        F.max("seq").alias("mx"), F.count("*").alias("cnt"))
+    seq_ok = per_part.agg(
+        F.min(F.col("mx") + 1 == F.col("cnt")).alias("seq_contiguous"))
+    tot = lin.agg(
+        F.sum("n_rows").alias("total_rows"),
+        (F.count_distinct("stripe_id") == F.count("*")).alias("ids_unique"),
+        (F.min("enc_bytes") > 0).alias("enc_positive"),
+        (F.min("raw_bytes") > 0).alias("raw_positive"),
+    )
+    return tot.crossJoin(seq_ok)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- the engine itself -------------------------------------------
         "transcripts_source": _transcripts_source,
         "transcripts_roundtrip": _transcripts_roundtrip,
         "events_roundtrip": _events_roundtrip,
+        "allkinds_roundtrip": allkinds.allkinds_roundtrip,
         "decode_projection": _decode_projection,
-        "encode_lineage": lambda s, d: engine.lineage_view(
-            engine.encode_df(transcripts.transcripts_from_events(s, d),
-                             _encode_cfg())
-        ).select("stripe_id", "part_id", "seq", "n_rows", "raw_bytes",
-                 "enc_bytes", "compression_ratio"),
+        "point_lookup": _point_lookup,
+        "encode_lineage": _encode_lineage,
         # -- dedup --------------------------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -206,8 +240,18 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_source": transcripts.ORACLE_SQL,
         "transcripts_roundtrip": transcripts.ORACLE_SQL,
         "events_roundtrip": "SELECT * FROM events",
+        "allkinds_roundtrip": allkinds.ORACLE_SQL,
+        "encode_lineage": """
+SELECT count(*) AS total_rows, TRUE AS ids_unique, TRUE AS enc_positive,
+       TRUE AS raw_positive, TRUE AS seq_contiguous
+FROM events
+""",
         "decode_projection": (
             f"SELECT conv_id, turn_idx, text FROM ({transcripts.ORACLE_SQL})"
+        ),
+        "point_lookup": (
+            f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
+            "WHERE conv_id = 'conv-00000001' AND turn_idx BETWEEN 2 AND 10"
         ),
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -141,12 +141,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out at ~0.51, so 0.35 yields a real (non-empty) near-dup set
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_near_dup(
             _embs(s, d), threshold=0.35),
+        "dedup_embedding_lsh": lambda s, d: dedup.embedding_near_dup_lsh(
+            _embs(s, d), threshold=0.35),
         # -- similarity search -------------------------------------------
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             _embs(s, d), query_vec_id=0, k=10),
         "ann_lsh_topk": lambda s, d: similarity.lsh_ann_topk(
             _embs(s, d), query_vec_id=0, k=10, anchor_ids=(1, 2, 3, 4)),
         "ann_pairwise_topk_per_label": lambda s, d: similarity.pairwise_topk_per_label(
+            _embs(s, d), k=3),
+        "ann_pairwise_topk_lsh": lambda s, d: similarity.pairwise_topk_per_label_lsh(
             _embs(s, d), k=3),
         # -- text analysis -----------------------------------------------
         "text_token_stats": lambda s, d: text.token_stats(_docs(s, d)),
@@ -199,6 +203,46 @@ def _lang_score(lang: str) -> str:
     markers = {"en": [" the ", " and ", " of "], "de": [" der ", " und ", " die "],
                "fr": [" le ", " la ", " et "], "es": [" el ", " los ", " y "]}
     return " + ".join(_count_occ("padded", m) for m in markers[lang])
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of dedup.simhash: same md5-top-64-bit vote construction
+    (hex char k = nibble 15-k; bit j = (d_{15-j//4} >> (j%4)) & 1)."""
+    digs = ", ".join(
+        f"strpos('0123456789abcdef', substring(h, {k + 1}, 1)) - 1 AS d{k}"
+        for k in range(16))
+    votes = ", ".join(
+        f"sum(((d{15 - j // 4} >> {j % 4}) & 1) * 2 - 1) AS b{j}"
+        for j in range(64))
+    terms = " + ".join(
+        [f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63)]
+        + ["(CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+dig AS (
+  SELECT doc_id, {digs}
+  FROM (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> '')
+),
+votes AS (SELECT doc_id, {votes} FROM dig GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash64 FROM votes)
+SELECT d.doc_id, coalesce(s.simhash64, CAST(0 AS BIGINT)) AS simhash64
+FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
+"""
+
+
+def _simhash_near_sql(max_hamming: int) -> str:
+    """Brute-force bit_count(xor) twin — the banded Spark plan must find
+    EXACTLY these pairs (pigeonhole-complete banding)."""
+    return f"""
+WITH sigs AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash64, b.simhash64)) <= {max_hamming}
+"""
 
 
 def _minhash_sig_sql(k: int, shingle: int) -> str:
@@ -272,10 +316,30 @@ SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
 FROM inter WHERE round(inter / (na + nb - inter), 6) >= 0.8
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_near": _simhash_near_sql(8),
         "dedup_embedding_cosine": f"""
 WITH e AS (SELECT vec_id, embedding, {_norm("embedding")} AS nrm FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {emb_cos} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {emb_cos} >= 0.35
+""",
+        "dedup_embedding_lsh": f"""
+WITH anchors AS (
+  SELECT vec_id AS aid, embedding AS avec FROM embeddings
+  WHERE vec_id IN (1, 2, 3, 4)
+),
+bits AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN {_dot("e.embedding", "a.avec")} >= 0
+                       THEN power(2.0, a.aid - 1) ELSE 0.0 END) AS INTEGER)
+             AS bucket
+  FROM embeddings e CROSS JOIN anchors a GROUP BY e.vec_id
+),
+b AS (SELECT e.vec_id, e.embedding, bits.bucket, {_norm("e.embedding")} AS nrm
+      FROM embeddings e JOIN bits ON e.vec_id = bits.vec_id)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {emb_cos} AS cosine
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {emb_cos} >= 0.35
 """,
         "ann_cosine_topk": f"""
@@ -318,6 +382,33 @@ WITH pairs AS (
              AS cosine
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
+),
+rk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY label ORDER BY cosine DESC, vec_a, vec_b) AS rk
+  FROM pairs
+)
+SELECT label, vec_a, vec_b, cosine FROM rk WHERE rk <= 3
+""",
+        "ann_pairwise_topk_lsh": f"""
+WITH anchors AS (
+  SELECT vec_id AS aid, embedding AS avec FROM embeddings
+  WHERE vec_id IN (1, 2, 3, 4)
+),
+bits AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN {_dot("e.embedding", "a.avec")} >= 0
+                       THEN power(2.0, a.aid - 1) ELSE 0.0 END) AS INTEGER)
+             AS bucket
+  FROM embeddings e CROSS JOIN anchors a GROUP BY e.vec_id
+),
+b AS (SELECT e.vec_id, e.label, e.embedding, bits.bucket,
+             {_norm("e.embedding")} AS nrm
+      FROM embeddings e JOIN bits ON e.vec_id = bits.vec_id),
+pairs AS (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, {emb_cos} AS cosine
+  FROM b a JOIN b b ON a.label = b.label AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
 ),
 rk AS (
   SELECT *, row_number() OVER (

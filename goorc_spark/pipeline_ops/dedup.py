@@ -9,7 +9,51 @@ key-equi joins that AQE can re-plan for skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Band-bucket population above which the in-array pair expansion (one row =
+# one bucket) would concentrate a degenerate bucket on one executor; larger
+# buckets switch to an equi self-join that spreads the quadratic work.
+MAX_BUCKET = 2000
+
+
+def _bucket_pairs(banded: DataFrame, keys: list[str], payload: list[str],
+                  pair_builder, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Exact candidate pairs per bucket with a two-regime plan: buckets up
+    to `max_bucket` members expand sorted doc combinations JVM-side from one
+    collect_list row (one shuffle, no join); degenerate buckets (e.g. the
+    empty-text signature) fall back to an equi self-join on the bucket key,
+    which spreads |bucket|^2 work across tasks instead of materializing one
+    giant array on one executor. Both regimes are exact; only the plan
+    differs.
+
+    `payload` = column names carried per member (must include doc_id);
+    `pair_builder(x, y)` builds the output struct from two member structs."""
+    w = Window.partitionBy(*keys)
+    sized = banded.withColumn("__n", F.count("*").over(w))
+    small = sized.filter(F.col("__n") <= max_bucket)
+    buckets = small.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct(*payload))).alias("ds")) \
+        .filter(F.size("ds") > 1)
+    ds = F.col("ds")
+    pair_structs = F.flatten(F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
+            lambda y: pair_builder(x, y))))
+    pairs = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
+    big = sized.filter(F.col("__n") > max_bucket)
+    a = big.alias("a")
+    b = big.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    big_pairs = a.join(b, cond).select(
+        pair_builder(
+            F.struct(*[F.col(f"a.{c}").alias(c) for c in payload]),
+            F.struct(*[F.col(f"b.{c}").alias(c) for c in payload]),
+        ).alias("p")).select("p.*")
+    return pairs.union(big_pairs)
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -99,38 +143,38 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
             for b in range(bands)
         ])).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bh")
-    # group each band-bucket and expand sorted doc-id combinations JVM-side:
-    # one pass over signatures (a self-join would recompute them for both
-    # sides) and one shuffle keyed by (band, bh)
-    buckets = banded.groupBy("band", "bh") \
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds")) \
-        .filter(F.size("ds") > 1)
-    ds = F.col("ds")
-    pair_structs = F.flatten(F.transform(
-        ds,
-        lambda x, i: F.transform(
-            F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    pairs = _bucket_pairs(
+        banded, ["band", "bh"], ["doc_id"],
+        lambda x, y: F.struct(x["doc_id"].alias("doc_a"),
+                              y["doc_id"].alias("doc_b")))
+    return pairs.distinct()
 
 
-def simhash(docs: DataFrame) -> DataFrame:
+def simhash(docs: DataFrame, hash: str = "md5") -> DataFrame:
     """64-bit SimHash over whitespace tokens, entirely with built-ins:
-    explode tokens -> xxhash64 -> 64 bit-vote sums per doc -> reassembled
-    signature. One shuffle keyed by doc_id; whole-stage codegen end to end
-    (an earlier variant looped per doc inside a pandas UDF)."""
+    explode tokens -> 64 bit votes from a 64-bit token hash -> reassembled
+    signature. One shuffle keyed by doc_id; whole-stage codegen end to end.
+
+    hash="md5" (default): the token hash is the top 64 bits of md5, so the
+    SAME signature is computable in any SQL engine — that is what puts this
+    op (and simhash_near_dup) behind the DuckDB oracle gate instead of a
+    rows-only check. hash="xxh64": the cheap JVM hash for production runs
+    where cross-engine reproducibility isn't needed."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
-    votes = toks.groupBy("doc_id").agg(*[
-        F.sum(F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1)
-               .otherwise(-1)).alias(f"b{j}")
+    if hash == "xxh64":
+        h64 = F.xxhash64("tok")
+    else:
+        h = F.md5(F.encode("tok", "utf-8"))
+        h64 = F.shiftleft(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                          32).bitwiseOR(
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
+    dig = toks.select("doc_id", h64.alias("h64"))
+    votes = dig.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright(F.col("h64"), j)
+               .bitwiseAND(F.lit(1).cast("long")) * 2 - 1).alias(f"b{j}")
         for j in range(64)
     ])
     sig = None
@@ -146,46 +190,86 @@ def simhash(docs: DataFrame) -> DataFrame:
                 .alias("simhash64"))
 
 
-def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-duplicate pairs: band the 64-bit signature into 4x16-bit
-    keys (a pair within Hamming distance 3 must agree on at least one band
-    by pigeonhole), bucket-join candidates, verify with bit_count(xor).
-    Pure built-ins; the shuffle carries (band, key) buckets only."""
-    sh = simhash(docs)
+def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) spans covering 64 bits with max_hamming+1 bands —
+    the pigeonhole minimum for complete recall: a pair within the radius
+    must agree exactly on at least one band."""
+    n = max_hamming + 1
+    if n > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, extra = divmod(64, n)
+    spans, start = [], 0
+    for i in range(n):
+        w = base + (1 if i < extra else 0)
+        spans.append((start, w))
+        start += w
+    return spans
+
+
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
+                     max_bucket: int = MAX_BUCKET,
+                     hash: str = "md5") -> DataFrame:
+    """SimHash near-duplicate pairs, complete at the requested radius: the
+    signature is banded into max_hamming+1 disjoint spans (pigeonhole ==>
+    any pair within the radius collides on >=1 band), candidates bucket-join
+    on (band, key), verification is exact bit_count(xor). Degenerate buckets
+    switch to a distributed self-join (see _bucket_pairs)."""
+    sh = simhash(docs, hash=hash)
     banded = sh.select(
         "doc_id", "simhash64",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash64"), 16 * b)
-                 .bitwiseAND(F.lit(0xFFFF).cast("long")).alias("bk"),
+                F.shiftrightunsigned(F.col("simhash64"), start)
+                 .bitwiseAND(F.lit((1 << w) - 1).cast("long")).alias("bk"),
             )
-            for b in range(4)
+            for b, (start, w) in enumerate(simhash_bands(max_hamming))
         ])).alias("x"),
     ).select("doc_id", "simhash64", "x.band", "x.bk")
-    buckets = banded.groupBy("band", "bk").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "simhash64")))
-         .alias("ds")).filter(F.size("ds") > 1)
-    ds = F.col("ds")
-    pair_structs = F.flatten(F.transform(
-        ds,
-        lambda x, i: F.transform(
-            F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
-            lambda y: F.struct(x["doc_id"].alias("doc_a"),
-                               y["doc_id"].alias("doc_b"),
-                               F.bit_count(x["simhash64"].bitwiseXOR(
-                                   y["simhash64"])).alias("hamming")))))
+    pairs = _bucket_pairs(
+        banded, ["band", "bk"], ["doc_id", "simhash64"],
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+            F.bit_count(x["simhash64"].bitwiseXOR(y["simhash64"]))
+             .alias("hamming")),
+        max_bucket=max_bucket)
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
+                           anchor_ids=(1, 2, 3, 4)) -> DataFrame:
+    """Embedding near-dup THE SCALE WAY: hyperplane-LSH buckets (sign bits
+    of dot products against broadcast anchor vectors) restrict candidates to
+    same-bucket pairs, verified with exact cosine. One narrow map to bucket,
+    one bucket-equi join — no cartesian anywhere in the plan. Recall < 1 by
+    design (bucket-boundary pairs are missed); `embedding_near_dup` below is
+    the exact brute-force baseline kept for small-scale verification."""
+    from goorc_spark.pipeline_ops import similarity
+
+    b = similarity.hyperplane_buckets(embeddings, anchor_ids)
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    e = b.select("vec_id", "embedding", "bucket",
+                 F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                  .alias("nrm"))
+    a, c = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm"))
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. Brute force O(n^2) — correct
-    baseline; the LSH-bucketed variant in similarity.py is the scale path."""
+    """Embedding-cosine near-duplicate pairs. Brute force O(n^2) — the
+    small-scale exactness baseline; `embedding_near_dup_lsh` is the scale
+    path (bucketed candidates, no cartesian)."""
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)

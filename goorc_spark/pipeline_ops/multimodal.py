@@ -69,21 +69,25 @@ def extract_features(media: DataFrame, fake: bool = True, batch_hint: int = 16) 
         for pdf in batches:
             if not fake:
                 decode_image(b"")  # raises: real decode unavailable
-            payloads = pdf["payload"]
-            feats, digests, sizes = [], [], []
-            for raw in payloads:
-                b = bytes(raw) if raw is not None else b""
-                digests.append(hashlib.md5(b).hexdigest())
-                sizes.append(len(b))
-                # FAKE feature: 8-bin byte histogram, normalized (deterministic)
-                hist = np.bincount(np.frombuffer(b, dtype=np.uint8) >> 5,
-                                   minlength=8).astype(np.float32)
-                feats.append(hist / max(len(b), 1))
+            payloads = [b if b is not None else b"" for b in pdf["payload"]]
+            sizes = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                                count=len(payloads))
+            # ONE histogram pass over the concatenated buffer: bincount of
+            # (segment_id * 8 + bucket) then reshape — no per-row loop
+            # (md5 stays per payload: it has no vectorized form, and is the
+            # cheap part)
+            concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            seg = np.repeat(np.arange(len(payloads)), sizes)
+            hists = np.bincount(seg * 8 + (concat >> 5),
+                                minlength=len(payloads) * 8) \
+                .reshape(len(payloads), 8).astype(np.float32)
+            feats = hists / np.maximum(sizes, 1)[:, None]
+            digests = [hashlib.md5(b).hexdigest() for b in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": pd.array(sizes, dtype="int32"),
                 "digest": digests,
-                "features": feats,
+                "features": list(feats),
             })
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)

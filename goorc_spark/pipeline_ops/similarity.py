@@ -78,10 +78,37 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def pairwise_topk_per_label_lsh(embeddings: DataFrame, k: int = 3,
+                                anchor_ids=(1, 2, 3, 4)) -> DataFrame:
+    """Skew-safe per-label top-k pairs: candidates come from (label,
+    LSH-bucket) equi-joins instead of a per-label self-join, so one hot
+    label fans out across its buckets rather than collapsing into a single
+    quadratic task. Approximate (cross-bucket pairs are invisible), same
+    SQL-expressible algebra as ann_lsh_topk; `pairwise_topk_per_label` is
+    the exact baseline."""
+    b = hyperplane_buckets(embeddings, anchor_ids).select(
+        "vec_id", "label", "bucket", "embedding",
+        _norm(F.col("embedding")).alias("nrm"))
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(c, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id"))).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cosine"), "vec_a", "vec_b")
+    return pairs.withColumn("rk", F.row_number().over(w)) \
+                .filter(F.col("rk") <= k).drop("rk")
+
+
 def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3) -> DataFrame:
     """For each label, the k most-similar same-label pairs — a bounded
     self-join (per-label) + window top-k; the pattern for near-dup mining
-    inside pre-bucketed groups."""
+    inside pre-bucketed groups. One hot label still becomes one quadratic
+    task — use pairwise_topk_per_label_lsh for skewed label distributions."""
     a = embeddings.alias("a")
     b = embeddings.alias("b")
     pairs = a.join(b, (F.col("a.label") == F.col("b.label"))

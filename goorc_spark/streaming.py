@@ -3,10 +3,13 @@
 The reference is batch-only (SURVEY.md §2.5); at 10^12-turn scale new
 conversations arrive continuously, so the engine also ships a Structured
 Streaming path: readStream -> foreachBatch(stripe-encode + append). Each
-micro-batch runs the same partition-parallel encode_df pipeline and appends
-stripes + lineage to the sink; Spark's checkpoint gives exactly-once batch
-replay, and the per-stripe run_id/batch_id lineage makes reprocessed batches
-identifiable (idempotent overwrite-by-batch on replay).
+micro-batch runs the same partition-parallel encode_df pipeline and writes
+its stripes into a batch_id=N partition directory with dynamic partition
+overwrite. foreachBatch is at-least-once, so a batch retried after a
+partial/failed write REPLACES its own directory instead of appending next to
+the partial output — that overwrite is what upgrades the sink to effectively
+exactly-once; run_id/batch_id lineage additionally makes every stripe's
+origin auditable.
 """
 
 from __future__ import annotations
@@ -34,7 +37,10 @@ def stream_encode(stream_df: DataFrame, out_path: str, checkpoint: str,
         bcfg = dataclasses.replace(base, run_id=f"{base.run_id}-b{batch_id}")
         stripes = engine.encode_df(batch_df, bcfg) \
             .withColumn("batch_id", F.lit(batch_id))
-        stripes.write.mode("append").parquet(out_path)
+        # idempotent per batch: a retry overwrites ONLY batch_id=N
+        (stripes.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_path))
 
     writer = (stream_df.writeStream
               .foreachBatch(process_batch)

@@ -162,3 +162,24 @@ def test_streaming_incremental_encode(spark, tmp_path):
     a = sorted(str(r) for r in decoded.collect())
     b = sorted(str(r) for r in full.collect())
     assert a == b
+
+
+def test_streaming_retry_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (fresh checkpoint => batch 0 reruns) must
+    overwrite its own batch_id partition, not append duplicates."""
+    from goorc_spark import streaming, transcripts as tx
+
+    src = tmp_path / "in2"
+    out = tmp_path / "stripes2"
+    full = tx.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    full.write.mode("append").parquet(str(src))
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              partitions=4, run_id="retry")
+    spec = engine.spec_from_schema(full.schema)
+    for ck in ("ckA", "ckB"):  # second run replays batch 0 from scratch
+        q = streaming.stream_encode(
+            spark.readStream.schema(full.schema).parquet(str(src)),
+            str(out), str(tmp_path / ck), cfg)
+        q.awaitTermination(120)
+    stripes = spark.read.parquet(str(out))
+    assert engine.decode_df(stripes, spec).count() == full.count()

@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from goorc_spark import allkinds, engine, transcripts
+from goorc_spark import allkinds, engine, orc_bridge, transcripts
 from goorc_spark.pipeline_ops import dedup, multimodal, similarity, text
 
 
@@ -73,6 +73,21 @@ def _events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.decode_df(engine.encode_df(ev, cfg), spec)
 
 
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-ORC interop under the gate: events -> ORC files via the JVM
+    writer (zlib, like the reference writer) -> ORC scan -> stripe encode ->
+    decode. Mirrors the reference's interop golden tests
+    (/root/reference/testing/interop_reader_test.go:19-59)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = "/tmp/goorc_orc_bridge_" + sf_dir.strip("/").replace("/", "_")
+    orc_bridge.write_orc(ev, path)
+    back = orc_bridge.read_orc(spark, path)
+    spec = engine.spec_from_schema(back.schema)
+    cfg = engine.EncodeConfig(key_col="user_id", order_cols=("ts", "event_id"),
+                              stripe_bytes=4 * 1024 * 1024, run_id="orcrt")
+    return engine.decode_df(engine.encode_df(back, cfg), spec)
+
+
 def _decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-layer column pruning: only the requested columns' streams
     are decompressed (reference BatchOption.Includes, orc/stripe.go:250)."""
@@ -125,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_roundtrip": _transcripts_roundtrip,
         "events_roundtrip": _events_roundtrip,
         "allkinds_roundtrip": allkinds.allkinds_roundtrip,
+        "orc_roundtrip": _orc_roundtrip,
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "encode_lineage": _encode_lineage,
@@ -285,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_roundtrip": transcripts.ORACLE_SQL,
         "events_roundtrip": "SELECT * FROM events",
         "allkinds_roundtrip": allkinds.ORACLE_SQL,
+        "orc_roundtrip": "SELECT * FROM events",
         "encode_lineage": """
 SELECT count(*) AS total_rows, TRUE AS ids_unique, TRUE AS enc_positive,
        TRUE AS raw_positive, TRUE AS seq_contiguous

@@ -1,0 +1,48 @@
+"""Real-ORC interop bridge.
+
+The reference's raison d'être is reading/writing actual ORC files, including
+Java-written goldens (/root/reference/testing/interop_reader_test.go:19-59).
+Our engine's stripe table is its own (ORC-flavored) format, so this module
+is the bridge to on-disk ORC:
+
+- ingest: `spark.read.orc` (Spark's built-in Java ORC reader — the same
+  implementation family whose files the reference's interop tests pin) feeds
+  `engine.encode_df` directly;
+- export: any decoded DataFrame writes back with `df.write.orc`, zlib by
+  default like the reference writer (/root/reference/orc/writer.go headers);
+- a pyarrow.orc cross-check path exists for JVM-free verification (the size
+  gate in bench.py already uses it).
+
+Everything heavy stays in the JVM scan/encode path — the bridge adds no
+Python per-row work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from goorc_spark import engine
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zlib",
+              mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def encode_from_orc(spark: SparkSession, path: str,
+                    cfg: engine.EncodeConfig | None = None) -> DataFrame:
+    """ORC file(s) -> stripe table (the reference's read side, re-keyed)."""
+    return engine.encode_df(read_orc(spark, path), cfg)
+
+
+def export_orc(stripes: DataFrame, spec: list[dict], path: str,
+               compression: str = "zlib",
+               columns: list[str] | None = None) -> None:
+    """Stripe table -> real ORC files (the reference's write side): decode
+    (optionally projected) and hand the rows to the JVM ORC writer."""
+    write_orc(engine.decode_df(stripes, spec, columns=columns), path,
+              compression=compression)

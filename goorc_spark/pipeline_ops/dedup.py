@@ -74,34 +74,60 @@ def _shingles(col, n: int):
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (the verification stage after LSH
-    candidate generation; on its own it is quadratic in shared shingles)."""
-    sh = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle"),
-        F.size(_shingles(F.col("text"), n)).alias("n_sh"),
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering (the ppjoin
+    family, Xiao et al., WWW'08 — public literature): under any global total
+    order of shingles (md5 here), two sets with J >= t MUST share an element
+    within their first (|X| - ceil(t*|X|) + 1) shingles, so only those
+    prefixes are exploded and joined. At t=0.8 the join fan-out carries ~20%
+    of each doc's shingles instead of all of them (a ~25x cut of the
+    quadratic term); candidates are then verified exactly with one
+    array_intersect per pair. Same results as the naive all-shingle join —
+    the filter is lossless at the threshold."""
+    sets = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(_shingles(F.col("text"), n),
+                        lambda s: F.struct(F.md5(F.encode(s, "utf-8"))
+                                            .alias("h"), s.alias("s")))
+        ).alias("ordered"),
+    ).select(
+        "doc_id",
+        F.transform("ordered", lambda x: x["s"]).alias("sh_set"),
+        F.transform("ordered", lambda x: x["h"]).alias("hs"),
+        F.size("ordered").alias("n_sh"),
     )
-    # spread the quadratic join work: the small side broadcasts anyway, but
-    # the probe side must not collapse to one input split (common shingles
-    # make the joined stream ~|docs|^2 rows — CPU-bound, embarrassingly
-    # parallel in doc_id)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    a = sh.repartition(par, "doc_id").alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
-        .agg(F.count("*").alias("inter"))
+    pref = sets.withColumn(
+        "plen",
+        (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int"),
+    ).select(
+        "doc_id", "n_sh",
+        F.explode(F.expr("slice(hs, 1, plen)")).alias("ph"),
     )
-    return (
-        inter.withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ph") == F.col("b.ph"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # lossless length filter: J >= t forces t*|B| <= |A| <= |B|/t
+               & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+               & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sh_set").alias("set_a"),
+                     F.col("n_sh").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh_set").alias("set_b"),
+                     F.col("n_sh").alias("nb"))
+    verified = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
+    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 def minhash_signatures(docs: DataFrame, k: int = 12, shingle: int = 6) -> DataFrame:

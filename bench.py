@@ -384,6 +384,41 @@ def main() -> None:
         extras["decode"] = {"turns": decoded,
                             "turns_per_sec": round(decoded / sec)}
 
+        # point read through the row-group index at a PRODUCTION stripe
+        # shape (few big sorted stripes, 2k-row groups): stripe prune ->
+        # row-group prune -> exact filter, vs decoding the same big stripes
+        # in full
+        big_cfg = engine.EncodeConfig(
+            key_col="conv_id", order_cols=("turn_idx",),
+            stripe_bytes=64 * 1024 * 1024, partitions=4, rg_rows=2000,
+            range_partition=True, run_id="bigstripe")
+        engine.encode_df(df, big_cfg).write.mode("overwrite") \
+            .parquet(f"{tmp}/bigstripes")
+        bigstripes = spark.read.parquet(f"{tmp}/bigstripes")
+        sec, _ = timed(lambda: engine.decode_df(
+            bigstripes, transcripts.TRANSCRIPTS_SPEC).count())
+        queries["decode_bigstripes"] = round(sec, 3)
+        sec, hits = timed(lambda: engine.read_rows(
+            bigstripes, transcripts.TRANSCRIPTS_SPEC, "conv_id",
+            "conv-00000001", ord_col="turn_idx", ord_lo=0, ord_hi=10).count())
+        queries["point_lookup"] = round(sec, 3)
+        # wall-clock at sf0.1 is job-overhead-bound; the scale signal is the
+        # fraction of stripe bytes the row-group index lets the read skip
+        from goorc_spark import arrow_stripe
+
+        metas = [json.loads(r["meta"])
+                 for r in bigstripes.select("meta").collect()]
+        total_b = sum(g["length"] for m in metas
+                      for g in m.get("row_groups", []))
+        touched_b = sum(
+            m["row_groups"][i]["length"]
+            for m in metas
+            for i in (arrow_stripe.select_row_groups(
+                m, key_value="conv-00000001") or []))
+        extras["point_lookup"] = {
+            "rows": hits, "full_decode_sec": queries["decode_bigstripes"],
+            "bytes_fraction_touched": round(touched_b / max(total_b, 1), 4)}
+
         # size gate vs ORC-zlib oracle on the same rows
         pdf = df.orderBy("conv_id", "turn_idx").toPandas()
         oracle = orc_zlib_oracle_bytes(pdf)
@@ -401,11 +436,18 @@ def main() -> None:
             "dedup_exact": lambda: dedup.exact_dedup(docs).count(),
             "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs).count(),
             "dedup_simhash": lambda: dedup.simhash(docs).count(),
+            "dedup_simhash_xxh": lambda: dedup.simhash(docs, hash="xxh64").count(),
+            "dedup_simhash_near": lambda: dedup.simhash_near_dup(
+                docs, max_hamming=8).count(),
+            "dedup_embedding_lsh": lambda: dedup.embedding_near_dup_lsh(
+                embs, threshold=0.35).count(),
             "text_token_stats": lambda: text.token_stats(docs).count(),
             "text_quality_score": lambda: text.quality_score(docs).count(),
             "text_lang_id": lambda: text.lang_id(docs).count(),
             "ann_cosine_topk": lambda: similarity.cosine_topk(embs).count(),
             "ann_lsh_topk": lambda: similarity.lsh_ann_topk(embs).count(),
+            "ann_pairwise_topk_lsh": lambda:
+                similarity.pairwise_topk_per_label_lsh(embs).count(),
         }
         for name, fn in pipeline.items():
             sec, _ = timed(fn)

@@ -154,6 +154,11 @@ def encode_stripe_table(
                           compression, chunk_size, policy, cache)
             for col in spec
         ]
+        if start > 0:
+            # diagnostics (stats, sub-encoding histograms) live in group 0
+            # only — decode never reads them and N groups x M columns of
+            # repeated stats would dominate the stripe meta JSON
+            _strip_diagnostics(cols_meta)
         g: dict = {"n_rows": sub.num_rows, "offset": start_off,
                    "length": len(blob) - start_off, "columns": cols_meta}
         for label, cname in (("key", key_col), ("ord", ord_col)):
@@ -170,6 +175,14 @@ def encode_stripe_table(
         "row_groups": groups,
     }
     return bytes(blob), meta
+
+
+def _strip_diagnostics(cols_meta: list[dict]) -> None:
+    for c in cols_meta:
+        c.pop("stats", None)
+        c.pop("sub_encodings", None)
+        if "children" in c:
+            _strip_diagnostics(c["children"])
 
 
 def _coerce_bound(stored, probe):

@@ -9,7 +9,7 @@ key-equi joins that AQE can re-plan for skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # Band-bucket population above which the in-array pair expansion (one row =
 # one bucket) would concentrate a degenerate bucket on one executor; larger
@@ -28,31 +28,37 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], payload: list[str],
     differs.
 
     `payload` = column names carried per member (must include doc_id);
-    `pair_builder(x, y)` builds the output struct from two member structs."""
-    w = Window.partitionBy(*keys)
-    sized = banded.withColumn("__n", F.count("*").over(w))
-    small = sized.filter(F.col("__n") <= max_bucket)
-    buckets = small.groupBy(*keys).agg(
+    `pair_builder(x, y)` builds the output struct from two member structs.
+
+    Single pass: ONE shuffle keyed by the bucket, one collect_list per
+    bucket (memory O(|bucket|), never O(|bucket|^2)); the two regimes then
+    branch on size(ds) over the SAME aggregated exchange, which Spark
+    reuses across the union (upstream signatures are computed once — an
+    earlier two-pass variant recomputed them per branch). A pathologically
+    degenerate bucket still materializes one O(|bucket|) array inside the
+    aggregation; its quadratic pair expansion, the part that cannot be
+    bounded, runs as a distributed join either way."""
+    buckets = banded.groupBy(*keys).agg(
         F.array_sort(F.collect_list(F.struct(*payload))).alias("ds")) \
         .filter(F.size("ds") > 1)
+    small_b = buckets.filter(F.size("ds") <= max_bucket)
     ds = F.col("ds")
     pair_structs = F.flatten(F.transform(
         ds,
         lambda x, i: F.transform(
             F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
             lambda y: pair_builder(x, y))))
-    pairs = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
-    big = sized.filter(F.col("__n") > max_bucket)
-    a = big.alias("a")
-    b = big.alias("b")
-    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    pairs = small_b.select(F.explode(pair_structs).alias("p")).select("p.*")
+    big_m = buckets.filter(F.size("ds") > max_bucket) \
+        .select(*keys, F.explode("ds").alias("m"))
+    par = banded.sparkSession.sparkContext.defaultParallelism
+    a = big_m.repartition(par, *keys).alias("a")
+    b = big_m.alias("b")
+    cond = (F.col("a.m.doc_id") < F.col("b.m.doc_id"))
     for k in keys:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     big_pairs = a.join(b, cond).select(
-        pair_builder(
-            F.struct(*[F.col(f"a.{c}").alias(c) for c in payload]),
-            F.struct(*[F.col(f"b.{c}").alias(c) for c in payload]),
-        ).alias("p")).select("p.*")
+        pair_builder(F.col("a.m"), F.col("b.m")).alias("p")).select("p.*")
     return pairs.union(big_pairs)
 
 

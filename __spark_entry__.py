@@ -174,12 +174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": lambda s, d: text.quality_score(_docs(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: text.fingerprint(_docs(s, d), shingle=8),
-        # -- multimodal plumbing (synthetic media; no duckdb view exists) --
+        # -- multimodal plumbing (payload bytes derived from events.props,
+        #    so the Spark-side schema/batch plumbing gets a DuckDB twin) --
         "media_extract_features": lambda s, d: multimodal.extract_features(
-            multimodal.synth_media_df(s, n=64), fake=True)
+            multimodal.media_from_events(s, d), fake=True)
             .select("media_id", "n_bytes", "digest"),
         "media_frame_sample": lambda s, d: multimodal.frame_sample(
-            multimodal.synth_media_df(s, n=64), every_n_bytes=64)
+            multimodal.media_from_events(s, d), every_n_bytes=64)
             .select("media_id", "frame_idx", F.length("frame_bytes").alias("frame_len")),
     }
 
@@ -502,5 +503,22 @@ FROM scores
         "text_fingerprint": f"""
 SELECT doc_id, md5(text) AS md5, list_min({sh8}) AS min_shingle_hash
 FROM documents
+""",
+        # payload is encode(props): md5/length over the utf-8 bytes equal
+        # DuckDB's string md5/strlen on props
+        "media_extract_features": """
+SELECT event_id AS media_id,
+       CAST(strlen(props) AS INTEGER) AS n_bytes,
+       md5(props) AS digest
+FROM events
+""",
+        "media_frame_sample": """
+SELECT event_id AS media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(least(64, strlen(props) - i * 64) AS INTEGER) AS frame_len
+FROM events,
+     unnest(generate_series(
+        0, greatest(CAST(floor(strlen(props) / 64) AS INTEGER), 1) - 1))
+     AS t(i)
 """,
     }

@@ -48,6 +48,22 @@ def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def media_from_events(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table DERIVED from events.parquet (payload =
+    utf-8 bytes of props): unlike synth_media_df, every byte is a SQL
+    expression over driver testdata, so the media pipeline ops get real
+    DuckDB oracles instead of rows-only checks."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("event_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode("props", "utf-8").alias("payload"),
+        (F.col("event_id") % 32 + 64).cast("int").alias("meta_width"),
+        (F.col("event_id") % 16 + 48).cast("int").alias("meta_height"),
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Real decode would go through PIL/libvips — not in this container."""
     raise NotImplementedError(

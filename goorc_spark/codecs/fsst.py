@@ -64,31 +64,83 @@ def train(data: bytes) -> list[bytes]:
     return table
 
 
-def _match_positions(arr: np.ndarray, taken: np.ndarray, sym: np.ndarray,
-                     order: np.ndarray, bucket_starts: np.ndarray,
-                     slot: int) -> np.ndarray:
-    """Non-overlapping, not-yet-taken occurrences of `sym` (len>=2) in arr."""
-    L = len(sym)
-    cand = order[bucket_starts[slot]:bucket_starts[slot + 1]]  # ascending (stable)
-    cand = cand[cand <= len(arr) - L]
-    if len(cand) == 0:
-        return cand
-    ok = np.ones(len(cand), dtype=bool)
-    for j in range(2, L):
-        ok &= arr[cand + j] == sym[j]
-    for j in range(L):
-        ok &= ~taken[cand + j]
-    cand = cand[ok]
-    # drop self-overlaps greedily (left to right); few passes converge
-    while len(cand) > 1:
-        bad = np.flatnonzero(np.diff(cand) < L) + 1
+def _drop_overlaps(pos: np.ndarray, codes: np.ndarray, L: int):
+    """Remove self-overlapping matches left-to-right (few passes converge)."""
+    while len(pos) > 1:
+        bad = np.flatnonzero(np.diff(pos) < L) + 1
         if len(bad) == 0:
             break
-        keep = np.ones(len(cand), dtype=bool)
+        keep = np.ones(len(pos), dtype=bool)
         # remove every second element of an overlapping chain
         keep[bad[np.concatenate(([True], np.diff(bad) > 1))]] = False
-        cand = cand[keep]
-    return cand
+        pos, codes = pos[keep], codes[keep]
+    return pos, codes
+
+
+def _prefix_candidates(arr: np.ndarray, by_len: dict) -> dict:
+    """ONE pass over the 4-byte rolling window for every length class >= 4:
+    a sorted union of all symbols' 4-byte prefixes with a per-prefix class
+    bitmask; per-class candidate positions fall out of one searchsorted
+    (three full-array membership scans collapsed into one)."""
+    classes = [L for L in by_len if L >= 4]
+    if not classes or len(arr) < 4:
+        return {}
+    h4 = ((arr[:-3].astype(np.uint32) << 24)
+          | (arr[1:-2].astype(np.uint32) << 16)
+          | (arr[2:-1].astype(np.uint32) << 8)
+          | arr[3:])
+    pref_mask: dict[int, int] = {}
+    for ci, L in enumerate(classes):
+        for _, s in by_len[L]:
+            k = int.from_bytes(bytes(s[:4]), "big")
+            pref_mask[k] = pref_mask.get(k, 0) | (1 << ci)
+    pref = np.array(sorted(pref_mask), dtype=np.uint32)
+    masks = np.array([pref_mask[int(k)] for k in pref], dtype=np.uint8)
+    at = np.searchsorted(pref, h4)
+    at[at == len(pref)] = 0
+    hits = np.flatnonzero(pref[at] == h4).astype(np.int32, copy=False)
+    hit_masks = masks[at[hits]]
+    return {L: hits[(hit_masks & (1 << ci)) != 0]
+            for ci, L in enumerate(classes)}
+
+
+def _match_length_class(arr: np.ndarray, h2: np.ndarray, cand, taken: np.ndarray,
+                        syms: list, L: int):
+    """All not-taken, non-overlapping matches of EVERY length-L symbol in
+    one vector pass — the per-symbol loop this replaced was ~10x slower.
+    Candidates come from the shared 4-byte prefix scan for L>=4 (far more
+    selective than 2-byte on natural text) or a 2-byte LUT below that;
+    windows and symbols compare as big-endian uint64 keys (C integer
+    compare, no void memcmp)."""
+    n = len(arr)
+    if cand is None:
+        lut = np.zeros(65536, dtype=bool)
+        for _, s in syms:
+            lut[(int(s[0]) << 8) | int(s[1])] = True
+        cand = np.flatnonzero(lut[h2]).astype(np.int32, copy=False)
+    cand = cand[cand <= n - L]
+    if len(cand) == 0:
+        return cand, cand
+    cand = cand[~taken[cand]]
+    if len(cand) == 0:
+        return cand, cand
+    keys = np.zeros(len(cand), dtype=np.uint64)
+    for j in range(L):
+        keys = (keys << np.uint64(8)) | arr[cand + j]
+    sym_keys = np.array([int.from_bytes(bytes(s), "big") for _, s in syms],
+                        dtype=np.uint64)
+    sym_codes = np.array([c for c, _ in syms], dtype=np.int16)
+    sidx = np.argsort(sym_keys)
+    sym_keys, sym_codes = sym_keys[sidx], sym_codes[sidx]
+    at = np.searchsorted(sym_keys, keys)
+    at[at == len(sym_keys)] = 0
+    hit = sym_keys[at] == keys
+    pos = cand[hit]
+    codes = sym_codes[at[hit]]
+    ok = np.ones(len(pos), dtype=bool)
+    for j in range(1, L):
+        ok &= ~taken[pos + j]
+    return _drop_overlaps(pos[ok], codes[ok], L)
 
 
 def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
@@ -111,30 +163,20 @@ def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
     single = {s[0]: c for c, s in enumerate(table) if len(s) == 1}
     if multi and n >= 2:
         h2 = (arr[:-1].astype(np.uint16) << 8) | arr[1:]
-        # only positions whose 2-byte prefix starts SOME symbol matter: a
-        # 64K LUT maps prefix -> dense symbol-prefix id (or -1), so the sort
-        # runs over the matching subset, not the whole column. int32
-        # positions throughout (stripes are << 2 GB): halves memory traffic,
-        # which is what limits 32-core scaling.
-        prefixes = sorted({(int(s[0]) << 8) | int(s[1]) for _, s in multi})
-        pref_id = np.full(65536, -1, dtype=np.int16)
-        for i, k in enumerate(prefixes):
-            pref_id[k] = i
-        ids = pref_id[h2]
-        sel = np.flatnonzero(ids >= 0).astype(np.int32, copy=False)
-        order = sel[np.argsort(ids[sel], kind="stable")]
-        bucket_starts = np.zeros(len(prefixes) + 1, dtype=np.int64)
-        np.cumsum(np.bincount(ids[sel], minlength=len(prefixes)),
-                  out=bucket_starts[1:])
-        pref_slot = {k: i for i, k in enumerate(prefixes)}
-        # longer symbols first, then table (gain) order
-        for c, sym in sorted(multi, key=lambda t: -len(t[1])):
-            slot = pref_slot[(int(sym[0]) << 8) | int(sym[1])]
-            pos = _match_positions(arr, taken, sym, order, bucket_starts, slot)
+        by_len: dict[int, list] = {}
+        for c, s in multi:
+            by_len.setdefault(len(s), []).append((c, s))
+        cand_by_len = _prefix_candidates(arr, by_len)
+        # longest length class first; within a class all symbols match in
+        # one vector pass (leftmost-first tie-break instead of the old
+        # per-symbol gain order — same format, ratio within noise)
+        for L in sorted(by_len, reverse=True):
+            pos, codes = _match_length_class(arr, h2, cand_by_len.get(L),
+                                             taken, by_len[L], L)
             if len(pos) == 0:
                 continue
-            code_at[pos] = c
-            for j in range(len(sym)):
+            code_at[pos] = codes
+            for j in range(L):
                 taken[pos + j] = True
 
     # classify remaining bytes

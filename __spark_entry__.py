@@ -113,6 +113,49 @@ def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ord_lo=2, ord_hi=10)
 
 
+def _stream_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the gate: the transcripts
+    table is replayed as a file stream in TWO halves (two micro-batch
+    passes, state recovered from checkpoint between them), and the final
+    applyInPandasWithState per-conversation stats must equal the plain
+    batch GROUP BY the oracle computes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from goorc_spark import streaming
+
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="goorc_stream_stats_")
+    src, sink, ck = f"{base}/src", f"{base}/sink", f"{base}/ck"
+    half = F2.crc32(F2.col("conv_id")) % 2 == 0
+
+    def write_updates(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    def run_pass():
+        q = (streaming.conv_stats_stream(
+                spark.readStream.schema(df.schema).parquet(src))
+             .writeStream.foreachBatch(write_updates)
+             .outputMode("update").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    df.filter(half).write.mode("append").parquet(src)
+    run_pass()
+    df.filter(~half).write.mode("append").parquet(src)
+    run_pass()
+    out = (spark.read.parquet(sink).groupBy("conv_id")
+           .agg(F2.max("turns").alias("turns"),
+                F2.max("max_turn").alias("max_turn"),
+                F2.max("text_bytes").alias("text_bytes"))
+           .cache())
+    out.count()  # materialize before the temp dirs go away
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _encode_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage invariants as a one-row boolean gate (rows conservation,
     stripe-id uniqueness, positive sizes, per-partition seq contiguity) —
@@ -144,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "encode_lineage": _encode_lineage,
+        "stream_conv_stats": _stream_conv_stats,
         # -- dedup --------------------------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -307,6 +351,12 @@ def oracle_sql() -> dict[str, str]:
 SELECT count(*) AS total_rows, TRUE AS ids_unique, TRUE AS enc_positive,
        TRUE AS raw_positive, TRUE AS seq_contiguous
 FROM events
+""",
+        "stream_conv_stats": f"""
+SELECT conv_id, count(*) AS turns,
+       CAST(max(turn_idx) AS INTEGER) AS max_turn,
+       CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+FROM ({transcripts.ORACLE_SQL}) GROUP BY conv_id
 """,
         "decode_projection": (
             f"SELECT conv_id, turn_idx, text FROM ({transcripts.ORACLE_SQL})"

@@ -14,9 +14,57 @@ origin auditable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from goorc_spark import engine
+
+CONV_STATS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turns", T.LongType(), False),
+    T.StructField("max_turn", T.IntegerType(), False),
+    T.StructField("text_bytes", T.LongType(), False),
+])
+
+_CONV_STATE_SCHEMA = T.StructType([
+    T.StructField("turns", T.LongType(), False),
+    T.StructField("max_turn", T.IntegerType(), False),
+    T.StructField("text_bytes", T.LongType(), False),
+])
+
+
+def _update_conv_state(key, pdfs: Iterator[pd.DataFrame], state):
+    """Arrow-batched per-conversation accumulator (no per-row Python)."""
+    turns, mx, tb = state.get if state.exists else (0, -1, 0)
+    for pdf in pdfs:
+        turns += len(pdf)
+        if len(pdf):
+            mx = max(mx, int(pdf["turn_idx"].max()))
+            tb += int(pdf["text"].str.encode("utf-8").str.len().sum())
+    state.update((turns, mx, tb))
+    yield pd.DataFrame({"conv_id": [key[0]], "turns": [turns],
+                        "max_turn": [mx], "text_bytes": [tb]})
+
+
+def conv_stats_stream(stream_df: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): running
+    per-conversation turn counts / max turn_idx / text bytes maintained
+    across micro-batches. This is the ingestion-side bookkeeping a
+    10^12-turn pipeline needs (which conversations are still growing, where
+    the incremental encoder's resume points are) — state the batch engine's
+    lineage cannot provide because it only sees completed stripes. The
+    reference is batch-only; this is Spark-native surface area beyond it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        _update_conv_state,
+        outputStructType=CONV_STATS_SCHEMA,
+        stateStructType=_CONV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def stream_encode(stream_df: DataFrame, out_path: str, checkpoint: str,

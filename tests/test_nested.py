@@ -183,3 +183,44 @@ def test_streaming_retry_is_idempotent(spark, tmp_path):
         q.awaitTermination(120)
     stripes = spark.read.parquet(str(out))
     assert engine.decode_df(stripes, spec).count() == full.count()
+
+
+def test_stateful_conv_stats_stream(spark, tmp_path):
+    """applyInPandasWithState accumulates per-conversation stats across two
+    micro-batch arrivals; final state equals the batch-computed aggregate."""
+    from pyspark.sql import functions as F
+
+    from goorc_spark import streaming, transcripts as tx
+
+    src = tmp_path / "in3"
+    sink = tmp_path / "convstats"
+    full = tx.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    half = F.crc32(F.col("conv_id")) % 2 == 0
+
+    def write_updates(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(sink))
+
+    def run_pass():
+        stream = spark.readStream.schema(full.schema).parquet(str(src))
+        q = (streaming.conv_stats_stream(stream)
+             .writeStream.foreachBatch(write_updates)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck3"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    full.filter(half).write.mode("append").parquet(str(src))
+    run_pass()
+    full.filter(~half).write.mode("append").parquet(str(src))
+    run_pass()  # state recovered from checkpoint: counts keep accumulating
+    got = (spark.read.parquet(str(sink))
+           .groupBy("conv_id")
+           .agg(F.max("turns").alias("turns"), F.max("max_turn").alias("max_turn"),
+                F.max("text_bytes").alias("text_bytes")))
+    want = full.groupBy("conv_id").agg(
+        F.count("*").alias("turns"),
+        F.max("turn_idx").alias("max_turn"),
+        F.sum(F.length(F.encode("text", "utf-8"))).alias("text_bytes"))
+    a = sorted(map(str, got.collect()))
+    b = sorted(map(str, want.collect()))
+    assert a == b

@@ -218,7 +218,7 @@ def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
 def decompress(blob: bytes) -> bytes:
     mv = memoryview(blob)
     nsym = mv[0]
-    lens = np.frombuffer(mv[1 : 1 + nsym], dtype=np.uint8).astype(np.int64)
+    lens = np.frombuffer(mv[1 : 1 + nsym], dtype=np.uint8).astype(np.int32)
     p = 1 + nsym
     symdata = np.frombuffer(mv[p : p + int(lens.sum())], dtype=np.uint8)
     p += int(lens.sum())
@@ -227,7 +227,12 @@ def decompress(blob: bytes) -> bytes:
     codes = np.frombuffer(mv[p : p + enc_len], dtype=np.uint8)
     if enc_len == 0:
         return b""
-    sym_off = np.concatenate(([0], np.cumsum(lens)))
+    # 256-entry LUTs indexed directly by code byte: no escape guards needed
+    len_lut = np.zeros(256, dtype=np.int32)
+    len_lut[:nsym] = lens
+    off_lut = np.zeros(256, dtype=np.int32)
+    if nsym > 1:
+        off_lut[1:nsym] = np.cumsum(lens)[:-1]
 
     # escape parity: inside each maximal 0xff-run, even offsets are escapes
     is_esc = np.zeros(enc_len, dtype=bool)
@@ -243,11 +248,11 @@ def decompress(blob: bytes) -> bytes:
 
     tok = np.flatnonzero(~is_operand).astype(np.int32)  # token starts
     tok_is_esc = is_esc[tok]
-    tok_code = codes[tok].astype(np.int32)
-    out_lens = np.where(tok_is_esc, np.int32(1),
-                        lens.astype(np.int32)[np.where(tok_is_esc, 0, tok_code)])
+    tok_code = codes[tok]  # uint8 — indexes the 256-entry LUTs directly
+    out_lens = len_lut[tok_code]
+    out_lens[tok_is_esc] = 1
     n_tok = len(tok)
-    offsets = np.empty(n_tok, dtype=np.int64)
+    offsets = np.empty(n_tok, dtype=np.int32)
     offsets[0] = 0
     np.cumsum(out_lens[:-1], out=offsets[1:])
     total = int(offsets[-1]) + int(out_lens[-1]) if n_tok else 0
@@ -259,11 +264,13 @@ def decompress(blob: bytes) -> bytes:
     ns = ~tok_is_esc
     codes_ns = tok_code[ns]
     dst_ns = offsets[ns]
-    lens_ns = lens[codes_ns]
-    for L in np.unique(lens_ns):
+    lens_ns = len_lut[codes_ns]
+    # length classes from the (<=254-entry) table — np.unique on the token
+    # array would sort 1M+ elements for the same answer
+    for L in np.unique(lens):
         m = lens_ns == L
         dstL = dst_ns[m]
-        base = sym_off[codes_ns[m]]
+        base = off_lut[codes_ns[m]]
         for j in range(int(L)):
             out[dstL + j] = symdata[base + j]
     return out.tobytes()

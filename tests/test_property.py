@@ -91,3 +91,53 @@ def test_svarint_roundtrip(vals):
     out, off = decode_svarints(enc, len(v))
     np.testing.assert_array_equal(out, v)
     assert off == len(enc)
+
+
+# ---- round-2 surface: row groups, decimal128, group selection ------------
+
+dec_strings = st.decimals(
+    min_value=-(10**31), max_value=10**31, places=6, allow_nan=False,
+    allow_infinity=False)
+
+
+@_SMALL
+@given(st.lists(st.one_of(dec_strings, st.none()), max_size=400))
+def test_decimal128_roundtrip_property(vals):
+    import pyarrow as pa
+
+    from goorc_spark import arrow_stripe
+
+    t = pa.table({"d": pa.array(vals, type=pa.decimal128(38, 6))})
+    spec = [{"name": "d", "kind": "decimal", "precision": 38, "scale": 6}]
+    blob, meta = arrow_stripe.encode_stripe_table(t, spec)
+    out = arrow_stripe.decode_stripe_batch(blob, meta)
+    assert out.column("d").to_pylist() == vals
+
+
+@_SMALL
+@given(st.integers(1, 5000), st.integers(1, 997))
+def test_rowgroup_roundtrip_property(n, rg):
+    import pyarrow as pa
+
+    from goorc_spark import arrow_stripe
+
+    t = pa.table({
+        "k": pa.array((np.arange(n) // 7).astype(np.int64)),
+        "v": pa.array(np.arange(n, dtype=np.int64) * 3),
+    })
+    spec = [{"name": "k", "kind": "long"}, {"name": "v", "kind": "long"}]
+    blob, meta = arrow_stripe.encode_stripe_table(
+        t, spec, rg_rows=rg, key_col="k", ord_col="v")
+    out = arrow_stripe.decode_stripe_batch(blob, meta)
+    assert pa.Table.from_batches([out]).equals(t)
+    # group selection is conservative: every row of a probed key survives
+    probe = int(n // 14)
+    sel = arrow_stripe.select_row_groups(meta, key_value=probe)
+    if sel is not None:
+        got = arrow_stripe.decode_stripe_batch(blob, meta, rg_sel=sel) \
+            if sel else None
+        import pyarrow.compute as pc
+        want = int(pc.sum(pc.equal(t.column("k"), probe)).as_py() or 0)
+        have = 0 if got is None else \
+            int(pc.sum(pc.equal(got.column("k"), probe)).as_py() or 0)
+        assert have == want

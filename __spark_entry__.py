@@ -113,6 +113,20 @@ def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ord_lo=2, ord_hi=10)
 
 
+def _range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-predicate seek on a non-string column via per-row-group
+    [min,max] stats (reference RowIndexEntry statistics): events are
+    range-clustered by `value`, so groups outside [10, 50] are never
+    decompressed."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cfg = engine.EncodeConfig(key_col="value", order_cols=(),
+                              range_partition=True, rg_rows=1000,
+                              stripe_bytes=16 * 1024 * 1024, run_id="rs")
+    stripes = engine.encode_df(ev, cfg)
+    spec = engine.spec_from_schema(ev.schema)
+    return engine.read_where(stripes, spec, "value", lo=10.0, hi=50.0)
+
+
 def _stream_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator under the gate: the transcripts
     table is replayed as a file stream in TWO halves (two micro-batch
@@ -186,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _orc_roundtrip,
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
+        "range_scan": _range_scan,
         "encode_lineage": _encode_lineage,
         "stream_conv_stats": _stream_conv_stats,
         # -- dedup --------------------------------------------------------
@@ -365,6 +380,7 @@ FROM ({transcripts.ORACLE_SQL}) GROUP BY conv_id
             f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
             "WHERE conv_id = 'conv-00000001' AND turn_idx BETWEEN 2 AND 10"
         ),
+        "range_scan": "SELECT * FROM events WHERE value BETWEEN 10.0 AND 50.0",
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)

@@ -18,6 +18,8 @@ decimal is the one object-typed fallback.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -45,6 +47,10 @@ _PA_BY_KIND = {
 }
 
 INT_CAST = {"short", "int", "long", "date"}
+
+# kinds whose per-row-group [min, max] is recorded for predicate seek
+_RANGE_KINDS = {"byte", "short", "int", "long", "float", "double", "date",
+                "timestamp", "timestamp_ntz"}
 
 
 def _as_array(x) -> pa.Array:
@@ -141,6 +147,7 @@ def encode_stripe_table(
             "compression": compression,
             "chunk_size": chunk_size,
             "columns": cols_meta,
+            "crc32": zlib.crc32(bytes(blob)),
         }
         return bytes(blob), meta
     cache = {} if cache is None else cache  # force sharing across groups
@@ -166,6 +173,20 @@ def encode_stripe_table(
                 mm = pc.min_max(sub.column(cname))
                 g[f"{label}_min"] = mm["min"].as_py()
                 g[f"{label}_max"] = mm["max"].as_py()
+        # per-group value ranges for every orderable scalar column — the
+        # reference's RowIndexEntry statistics (pb/orc_proto.proto:92-99):
+        # generic predicate seek (read_where) prunes groups on ANY column,
+        # not just the clustering key
+        rng = {}
+        for col in spec:
+            if col["kind"] in _RANGE_KINDS and col["name"] not in (key_col,
+                                                                   ord_col):
+                mm = pc.min_max(sub.column(col["name"]))
+                lo = mm["min"].as_py()
+                if lo is not None:
+                    rng[col["name"]] = [lo, mm["max"].as_py()]
+        if rng:
+            g["ranges"] = rng
         groups.append(g)
     meta = {
         "version": FORMAT_VERSION,
@@ -173,6 +194,7 @@ def encode_stripe_table(
         "compression": compression,
         "chunk_size": chunk_size,
         "row_groups": groups,
+        "crc32": zlib.crc32(bytes(blob)),
     }
     return bytes(blob), meta
 
@@ -195,10 +217,13 @@ def _coerce_bound(stored, probe):
 
 
 def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
-                      ord_lo=None, ord_hi=None) -> list[int] | None:
+                      ord_lo=None, ord_hi=None,
+                      col_ranges: dict | None = None) -> list[int] | None:
     """Indices of row groups whose [key_min,key_max] x [ord_min,ord_max]
-    ranges can contain the predicate. Returns None for single-group stripes
-    (old format: nothing to skip)."""
+    (and any `col_ranges` {column: (lo, hi)}) ranges can contain the
+    predicate. Conservative: a group with no recorded range for a probed
+    column is kept. Returns None for single-group stripes (old format:
+    nothing to skip)."""
     groups = meta.get("row_groups")
     if groups is None:
         return None
@@ -219,6 +244,17 @@ def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
         if ord_lo is not None and g.get("ord_max") is not None:
             hi, p = _coerce_bound(g["ord_max"], ord_lo)
             ok = ok and hi >= p
+        if col_ranges:
+            for cname, (vlo, vhi) in col_ranges.items():
+                r = g.get("ranges", {}).get(cname)
+                if r is None:
+                    continue  # no stats recorded -> keep (conservative)
+                if vhi is not None:
+                    lo, p = _coerce_bound(r[0], vhi)
+                    ok = ok and lo <= p
+                if vlo is not None:
+                    hi, p = _coerce_bound(r[1], vlo)
+                    ok = ok and hi >= p
         if ok:
             sel.append(i)
     return sel
@@ -523,16 +559,25 @@ def _decode_group(mv, cols: list[dict], n_rows: int, comp: str,
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+class CorruptStripeError(ValueError):
+    """Stripe blob bytes do not match the CRC32 recorded at encode time."""
+
+
 def decode_stripe_batch(blob: bytes, meta: dict,
                         tz: str | None = None,
                         include: list[str] | None = None,
-                        rg_sel: list[int] | None = None) -> pa.RecordBatch:
+                        rg_sel: list[int] | None = None,
+                        verify: bool = True) -> pa.RecordBatch:
     """Decode a stripe. `include` projects columns: only the named columns'
     streams are decompressed/decoded (the reference's include-list,
     /root/reference/orc/stripe.go:246-261 — skipped columns cost nothing).
     `rg_sel` restricts a row-grouped stripe to those group indices: skipped
     groups' stream bytes are never touched (the reference's Seek/Skip,
     orc/stripe.go:369-388)."""
+    if verify and "crc32" in meta and zlib.crc32(blob) != meta["crc32"]:
+        raise CorruptStripeError(
+            f"stripe blob CRC mismatch (expected {meta['crc32']}, got "
+            f"{zlib.crc32(blob)}) — storage corruption or truncated read")
     comp = meta["compression"]
     mv = memoryview(blob)
     groups = meta.get("row_groups")

@@ -368,6 +368,28 @@ def read_rows(stripes: DataFrame, spec: list[dict], key_col: str,
     return out.filter(cond)
 
 
+def read_where(stripes: DataFrame, spec: list[dict], col: str,
+               lo=None, hi=None,
+               columns: list[str] | None = None) -> DataFrame:
+    """Value-predicate seek on ANY orderable column (the reference's
+    row-index statistics pruning, RowIndexEntry stats in
+    pb/orc_proto.proto:92-99): row groups whose recorded [min, max] for
+    `col` cannot intersect [lo, hi] are never decompressed, then the exact
+    filter runs over the survivors. Unlike read_rows there is no
+    stripe-level prune (lineage carries only the clustering key's range) —
+    at 10^12 rows pair this with range_partition on the hot column."""
+    if columns is not None and col not in columns:
+        columns = list(columns) + [col]
+    out = decode_df(stripes, spec, columns=columns,
+                    rg_predicate={"col_ranges": {col: (lo, hi)}})
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return out.filter(cond)
+
+
 # ---------------------------------------------------------------- lineage --
 
 

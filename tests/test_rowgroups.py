@@ -176,3 +176,50 @@ def test_resume_rejects_range_partition(spark):
                               range_partition=True, partitions=4)
     with pytest.raises(ValueError, match="range"):
         engine.encode_df(df, cfg, pending_parts=[0, 1])
+
+
+def test_crc_detects_corruption():
+    t = _table(8000)
+    blob, meta = arrow_stripe.encode_stripe_table(
+        t, SPEC, rg_rows=2000, key_col="conv_id")
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(arrow_stripe.CorruptStripeError):
+        arrow_stripe.decode_stripe_batch(bytes(bad), meta)
+    out = arrow_stripe.decode_stripe_batch(blob, meta)  # pristine ok
+    assert out.num_rows == 8000
+
+
+def test_value_range_seek_prunes_groups():
+    """Per-group column ranges prune on a NON-key column (ORC RowIndexEntry
+    stats semantics)."""
+    import pyarrow.compute as pc
+    n = 20_000
+    t = pa.table({
+        "conv_id": pa.array([f"c{i:06d}" for i in range(n)]),
+        "turn_idx": pa.array(np.zeros(n, np.int32)),
+        "val": pa.array(np.arange(n)),  # monotone -> tight group ranges
+    })
+    blob, meta = arrow_stripe.encode_stripe_table(
+        t, SPEC, rg_rows=2000, key_col="conv_id", ord_col="turn_idx")
+    meta = json.loads(json.dumps(meta, default=str))
+    sel = arrow_stripe.select_row_groups(
+        meta, col_ranges={"val": (5000, 5999)})
+    assert len(sel) == 1
+    got = arrow_stripe.decode_stripe_batch(blob, meta, rg_sel=sel)
+    mask = pc.and_(pc.greater_equal(got.column("val"), 5000),
+                   pc.less_equal(got.column("val"), 5999))
+    assert int(pc.sum(mask).as_py()) == 1000
+
+
+def test_read_where_spark(spark):
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cfg = engine.EncodeConfig(key_col="value", order_cols=(),
+                              range_partition=True, partitions=4,
+                              rg_rows=500, run_id="rw")
+    stripes = engine.encode_df(ev, cfg)
+    spec = engine.spec_from_schema(ev.schema)
+    got = engine.read_where(stripes, spec, "value", lo=10.0, hi=50.0)
+    want = ev.filter((F.col("value") >= 10.0) & (F.col("value") <= 50.0))
+    assert got.count() == want.count()

@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": lambda s, d: multimodal.frame_sample(
             multimodal.media_from_events(s, d), every_n_bytes=64)
             .select("media_id", "frame_idx", F.length("frame_bytes").alias("frame_len")),
+        "media_resize": lambda s, d: multimodal.resize(
+            multimodal.media_from_events(s, d), out_w=2, out_h=1, fake=True)
+            .select("media_id", "out_w", "out_h", "n_bytes", "digest"),
     }
 
 
@@ -586,5 +589,14 @@ FROM events,
      unnest(generate_series(
         0, greatest(CAST(floor(strlen(props) / 64) AS INTEGER), 1) - 1))
      AS t(i)
+""",
+        # fake resize truncates payload to out_w*out_h*3 = 6 bytes (props is
+        # ASCII, so byte truncation == codepoint substring)
+        "media_resize": """
+SELECT event_id AS media_id, CAST(2 AS INTEGER) AS out_w,
+       CAST(1 AS INTEGER) AS out_h,
+       CAST(least(strlen(props), 6) AS INTEGER) AS n_bytes,
+       md5(substring(props, 1, 6)) AS digest
+FROM events
 """,
     }

@@ -109,6 +109,44 @@ def extract_features(media: DataFrame, fake: bool = True, batch_hint: int = 16) 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("out_w", T.IntegerType(), False),
+    T.StructField("out_h", T.IntegerType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("digest", T.StringType(), False),
+    T.StructField("resized", T.BinaryType(), False),
+])
+
+
+def resize(media: DataFrame, out_w: int = 32, out_h: int = 24,
+           fake: bool = True) -> DataFrame:
+    """mapInPandas resize plumbing. A real implementation decodes via
+    PIL/libvips (not in this container — `fake=False` raises through
+    decode_image); the deterministic fake keeps the exact Spark-side
+    contract (schema, Arrow batch shape, binary out column): 'resized'
+    payload = first out_w*out_h*3 bytes of the source payload, with the
+    digest over those bytes so the transform is oracle-checkable."""
+    budget = out_w * out_h * 3
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                decode_image(b"")
+            payloads = [bytes(b)[:budget] if b is not None else b""
+                        for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "out_w": pd.array([out_w] * len(pdf), dtype="int32"),
+                "out_h": pd.array([out_h] * len(pdf), dtype="int32"),
+                "n_bytes": pd.array([len(b) for b in payloads], dtype="int32"),
+                "digest": [hashlib.md5(b).hexdigest() for b in payloads],
+                "resized": payloads,
+            })
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing: slice each payload into fixed windows and
     explode to one row per frame — the shape video pipelines need. Pure

@@ -153,3 +153,17 @@ def test_events_roundtrip_generic_schema(spark):
     for col in src.columns:
         np.testing.assert_array_equal(dec[col].to_numpy(), src[col].to_numpy(),
                                       err_msg=f"column {col}")
+
+
+def test_media_resize_plumbing(spark):
+    from goorc_spark.pipeline_ops import multimodal
+
+    media = multimodal.synth_media_df(spark, n=16)
+    out = multimodal.resize(media, out_w=4, out_h=4, fake=True)
+    rows = out.collect()
+    assert len(rows) == 16
+    assert all(r["n_bytes"] == min(48, 256 + r["media_id"]) for r in rows)
+    assert all(len(r["resized"]) == r["n_bytes"] for r in rows)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="imaging"):
+        multimodal.resize(media, fake=False).collect()

@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(s, d), query_vec_id=0, k=10),
         "ann_lsh_topk": lambda s, d: similarity.lsh_ann_topk(
             _embs(s, d), query_vec_id=0, k=10, anchor_ids=(1, 2, 3, 4)),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _embs(s, d), query_vec_id=0, k=10, nprobe=2),
         "ann_pairwise_topk_per_label": lambda s, d: similarity.pairwise_topk_per_label(
             _embs(s, d), k=3),
         "ann_pairwise_topk_lsh": lambda s, d: similarity.pairwise_topk_per_label_lsh(
@@ -461,6 +463,40 @@ scored AS (
   FROM b JOIN qb ON b.bucket = qb.qbucket WHERE b.vec_id <> 0
 )
 SELECT vec_id, bucket, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "ann_ivf_topk": f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id IN (1, 2, 3, 4, 5, 6, 7, 8)
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round({_dot("e.embedding", "e.embedding")}
+                   - 2 * {_dot("e.embedding", "c.cvec")}
+                   + {_dot("c.cvec", "c.cvec")}, 6), c.cid) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid AS cell FROM cents c CROSS JOIN q
+  ORDER BY round({_dot("qe", "qe")} - 2 * {_dot("qe", "c.cvec")}
+                 + {_dot("c.cvec", "c.cvec")}, 6), c.cid
+  LIMIT 2
+),
+cand AS (
+  SELECT e.vec_id, a.cell, e.embedding FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cell
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, cell,
+       round({_dot("cand.embedding", "q.qe")}
+             / ({_norm("cand.embedding")} * {_norm("q.qe")}), 6) AS cosine
+FROM cand CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
         "ann_pairwise_topk_per_label": f"""
 WITH pairs AS (

@@ -78,6 +78,55 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def ivf_assign(embeddings: DataFrame, centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8)) -> DataFrame:
+    """IVF coarse quantizer: every vector is assigned to its nearest
+    centroid (centroids = deterministic vectors drawn from the data itself,
+    so the whole construction is pure SQL algebra — no iterative k-means
+    fit, which is the standard 'IVF-flat with sampled centroids' baseline).
+    Broadcast centroids, one narrow pass, argmin via least-distance
+    tie-broken by centroid id."""
+    cents = embeddings.filter(F.col("vec_id").isin(list(centroid_ids))) \
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    joined = embeddings.crossJoin(F.broadcast(cents))
+    d2 = _dot(F.col("embedding"), F.col("embedding")) \
+        - 2 * _dot(F.col("embedding"), F.col("cvec")) \
+        + _dot(F.col("cvec"), F.col("cvec"))
+    scored = joined.select("vec_id", "cid", F.round(d2, 6).alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = scored.withColumn("rk", F.row_number().over(w)) \
+        .filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
+    return embeddings.join(assign, "vec_id")
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+             centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8), nprobe: int = 2) -> DataFrame:
+    """IVF-flat ANN: score only vectors whose cell is among the query's
+    `nprobe` nearest centroids. At 10^12 scale the cell assignment is the
+    write-time clustering; a query touches nprobe/n_cells of the corpus.
+    Recall < 1 by design; exactness claim = same algorithm as the SQL
+    oracle."""
+    assigned = ivf_assign(embeddings, centroid_ids)
+    cents = embeddings.filter(F.col("vec_id").isin(list(centroid_ids))) \
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    q = embeddings.filter(F.col("vec_id") == query_vec_id) \
+        .select(F.col("embedding").alias("qe"))
+    qd = q.crossJoin(F.broadcast(cents)).select(
+        "qe", "cid",
+        F.round(_dot(F.col("qe"), F.col("qe"))
+                - 2 * _dot(F.col("qe"), F.col("cvec"))
+                + _dot(F.col("cvec"), F.col("cvec")), 6).alias("d2"))
+    probe = qd.orderBy("d2", "cid").limit(nprobe) \
+        .select(F.col("cid").alias("cell"), "qe")
+    cand = assigned.join(F.broadcast(probe), "cell") \
+        .filter(F.col("vec_id") != query_vec_id)
+    scored = cand.select(
+        "vec_id", "cell",
+        F.round(_dot(F.col("embedding"), F.col("qe"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6)
+         .alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
 def pairwise_topk_per_label_lsh(embeddings: DataFrame, k: int = 3,
                                 anchor_ids=(1, 2, 3, 4)) -> DataFrame:
     """Skew-safe per-label top-k pairs: candidates come from (label,

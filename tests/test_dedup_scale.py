@@ -86,3 +86,23 @@ def test_embedding_lsh_subset_of_bruteforce(spark):
 def test_simhash_near_dup_radius_guard():
     with pytest.raises(ValueError):
         dedup.simhash_bands(64)
+
+
+def test_ivf_topk_candidates_respect_cells(spark):
+    import numpy as np
+
+    from goorc_spark.pipeline_ops import similarity
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(120, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], int(i % 4)) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+    assigned = similarity.ivf_assign(df)
+    # total assignment: every vector lands in exactly one cell
+    assert assigned.count() == 120
+    assert assigned.select("vec_id").distinct().count() == 120
+    top = similarity.ivf_topk(df, query_vec_id=0, k=5, nprobe=2).collect()
+    assert len(top) == 5
+    # all results come from the probed cells (<= 2 distinct cells)
+    assert len({r["cell"] for r in top}) <= 2

@@ -326,21 +326,36 @@ WHERE bit_count(xor(a.simhash64, b.simhash64)) <= {max_hamming}
 """
 
 
+def _hex32_sql(col: str, start: int) -> str:
+    """BIGINT value of 8 hex chars of `col` starting at 1-based `start`."""
+    terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring({col}, {start + j}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8))
+    return f"({terms})"
+
+
 def _minhash_sig_sql(k: int, shingle: int) -> str:
-    """sig_j = min over shingles of md5(j || ':' || s)."""
+    """Double-hashing twin of dedup.minhash_signatures: one md5 per shingle,
+    sig_j = min((h1 + j*h2) mod 2^32) with h1/h2 = the md5's 32-bit halves
+    (h2 forced odd)."""
     sh = _shingles_sql("text", shingle)
-    parts = [
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig{j}"
-        for j in range(k)
-    ]
-    return f"SELECT doc_id, {', '.join(parts)} FROM (SELECT doc_id, {sh} AS sh FROM documents)"
+    sigs = ", ".join(
+        f"min((h1 + {j} * h2) % 4294967296) AS sig{j}" for j in range(k))
+    return f"""
+SELECT doc_id, {sigs} FROM (
+  SELECT doc_id, {_hex32_sql("h", 1)} AS h1, ({_hex32_sql("h", 9)} | 1) AS h2
+  FROM (SELECT doc_id, md5(s) AS h
+        FROM (SELECT doc_id, unnest({sh}) AS s FROM documents))
+) GROUP BY doc_id"""
 
 
 def _minhash_lsh_sql(k: int = 12, bands: int = 4, shingle: int = 6) -> str:
     rows = k // bands
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(f"sig{b * rows + r}" for r in range(rows))
+        + " || '|' || ".join(f"CAST(sig{b * rows + r} AS VARCHAR)"
+                             for r in range(rows))
         + ") AS bh FROM sigs"
         for b in range(bands)
     )

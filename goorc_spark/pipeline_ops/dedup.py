@@ -136,22 +136,31 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+MINHASH_MOD = 1 << 32
+
+
 def minhash_signatures(docs: DataFrame, k: int = 12, shingle: int = 6) -> DataFrame:
-    """k-permutation MinHash via seeded md5 — md5(seed || shingle) is a
-    deterministic 'permutation' reproducible in any SQL engine."""
-    # one pass over exploded distinct shingles: k seeded hashes per shingle
-    # occurrence, min-aggregated per doc with map-side combine. (The naive
-    # form — k array_min(transform(shingles)) projections — makes Catalyst
-    # inline the shingle build k times; this shape computes shingles once
-    # and shuffles only k x 16-byte partial minima per doc.)
+    """k-permutation MinHash via double hashing: ONE md5 per shingle yields
+    two 32-bit halves (h1, h2|1); permutation j is (h1 + j*h2) mod 2^32
+    (Kirsch-Mitzenmacher double hashing, public literature) — deterministic,
+    reproducible in any SQL engine, and ~6x cheaper than the earlier
+    one-md5-per-permutation form. One pass over exploded distinct shingles,
+    k min-aggregates with map-side combine; the shuffle carries k x 8-byte
+    partial minima per doc."""
     sh = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"), shingle)).alias("s"))
+    h = F.md5(F.encode("s", "utf-8"))
+    hh = sh.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+         .bitwiseOR(F.lit(1).cast("long")).alias("h2"),  # h2 odd: never 0
+    )
     aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("s")), "utf-8")))
-        .alias(f"h{j}")
+        F.min((F.col("h1") + j * F.col("h2")) % MINHASH_MOD).alias(f"h{j}")
         for j in range(k)
     ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    sigs = hh.groupBy("doc_id").agg(*aggs)
     return sigs.select(
         "doc_id", F.array(*[F.col(f"h{j}") for j in range(k)]).alias("minhash"))
 
@@ -169,7 +178,8 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.encode(F.concat_ws("|", *[
-                    F.col("minhash")[b * rows + r] for r in range(rows)
+                    F.col("minhash")[b * rows + r].cast("string")
+                    for r in range(rows)
                 ]), "utf-8")).alias("bh"),
             )
             for b in range(bands)

@@ -24,24 +24,48 @@ SAMPLE_BYTES = 1 << 16
 _LENGTHS = (8, 6, 4, 3, 2)
 
 
+def _rolling_keys(arr: np.ndarray) -> np.ndarray:
+    """uint64 key per position: the next 8 bytes big-endian, zero-padded past
+    the end — so the length-L window at position i is `h8[i] >> 8*(8-L)` for
+    any i + L <= len(arr). ONE array serves every length class (peak temp is
+    8x the input bytes; stripe columns are a few MB)."""
+    n = len(arr)
+    pad = np.zeros(n + 7, dtype=np.uint8)
+    pad[:n] = arr
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(8):
+        h = (h << np.uint64(8)) | pad[j:j + n]
+    return h
+
+
 def train(data: bytes) -> list[bytes]:
-    """Build a symbol table from (a sample of) `data`."""
+    """Build a symbol table from (a sample of) `data`. All length classes
+    share ONE sort of the rolling 8-byte keys: a sorted uint64 array is also
+    sorted under every big-endian prefix, so per-class unique+counts are
+    run-length scans over prefixes of the same sorted array (the old
+    per-class void-dtype np.unique was ~10x the cost of everything else in
+    training)."""
     if len(data) == 0:
         return []
     sample = np.frombuffer(data[:SAMPLE_BYTES], dtype=np.uint8)
     n = len(sample)
     cand: list[tuple[int, bytes]] = []  # (gain, symbol)
-    for L in _LENGTHS:
-        if n < L * 4:
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(sample, L)
-        keys = np.ascontiguousarray(win).view(np.dtype((np.void, L))).ravel()
-        uniq, counts = np.unique(keys, return_counts=True)
-        gain = (L - 1) * counts
-        top = np.argsort(gain)[::-1][:96]
-        for i in top:
-            if gain[i] >= 2 * L:  # worth at least a couple of replacements
-                cand.append((int(gain[i]), uniq[i].tobytes()))
+    if n >= 8:
+        h8s = np.sort(_rolling_keys(sample)[: n - 7])
+        for L in _LENGTHS:
+            if n < L * 4:
+                continue
+            keys = h8s >> np.uint64(8 * (8 - L))
+            edge = np.flatnonzero(
+                np.concatenate(([True], keys[1:] != keys[:-1])))
+            counts = np.diff(np.concatenate((edge, [len(keys)])))
+            gain = (L - 1) * counts
+            top = np.argsort(gain)[::-1][:96]
+            uniq = keys[edge]
+            for i in top:
+                if gain[i] >= 2 * L:  # worth at least a couple of replacements
+                    cand.append((int(gain[i]),
+                                 int(uniq[i]).to_bytes(8, "big")[8 - L:]))
     cand.sort(key=lambda t: -t[0])
     table: list[bytes] = []
     seen: set[bytes] = set()
@@ -52,12 +76,12 @@ def train(data: bytes) -> list[bytes]:
         if len(table) >= MAX_MULTI:
             break
     # fill remaining code space with the most frequent single bytes
-    vals, counts = np.unique(sample, return_counts=True)
-    order = np.argsort(counts)[::-1]
+    counts = np.bincount(sample, minlength=256)
+    order = np.argsort(counts, kind="stable")[::-1]
     for i in order:
-        if len(table) >= MAX_SYMBOLS:
+        if len(table) >= MAX_SYMBOLS or counts[i] == 0:
             break
-        b = bytes([int(vals[i])])
+        b = bytes([int(i)])
         if b not in seen:
             seen.add(b)
             table.append(b)
@@ -77,42 +101,44 @@ def _drop_overlaps(pos: np.ndarray, codes: np.ndarray, L: int):
     return pos, codes
 
 
-def _prefix_candidates(arr: np.ndarray, by_len: dict) -> dict:
-    """ONE pass over the 4-byte rolling window for every length class >= 4:
-    a sorted union of all symbols' 4-byte prefixes with a per-prefix class
-    bitmask; per-class candidate positions fall out of one searchsorted
-    (three full-array membership scans collapsed into one)."""
+def _prefix_candidates(h8: np.ndarray, n: int, by_len: dict) -> dict:
+    """Candidate positions for every length class >= 4 from the shared
+    rolling-key array: a 16-bit LUT on the top two bytes prefilters the
+    stream (one gather kills ~99% of positions on natural text), then one
+    searchsorted against the sorted union of the symbols' 4-byte prefixes
+    resolves a per-prefix class bitmask."""
     classes = [L for L in by_len if L >= 4]
-    if not classes or len(arr) < 4:
+    if not classes or n < 4:
         return {}
-    h4 = ((arr[:-3].astype(np.uint32) << 24)
-          | (arr[1:-2].astype(np.uint32) << 16)
-          | (arr[2:-1].astype(np.uint32) << 8)
-          | arr[3:])
     pref_mask: dict[int, int] = {}
+    lut = np.zeros(65536, dtype=bool)
     for ci, L in enumerate(classes):
         for _, s in by_len[L]:
             k = int.from_bytes(bytes(s[:4]), "big")
             pref_mask[k] = pref_mask.get(k, 0) | (1 << ci)
+            lut[k >> 16] = True
+    h4 = (h8 >> np.uint64(32)).astype(np.uint32)[: n - 3]
+    cand0 = np.flatnonzero(lut[(h4 >> 16)]).astype(np.int32, copy=False)
+    hv = h4[cand0]
     pref = np.array(sorted(pref_mask), dtype=np.uint32)
     masks = np.array([pref_mask[int(k)] for k in pref], dtype=np.uint8)
-    at = np.searchsorted(pref, h4)
+    at = np.searchsorted(pref, hv)
     at[at == len(pref)] = 0
-    hits = np.flatnonzero(pref[at] == h4).astype(np.int32, copy=False)
-    hit_masks = masks[at[hits]]
+    hit = pref[at] == hv
+    hits = cand0[hit]
+    hit_masks = masks[at[hit]]
     return {L: hits[(hit_masks & (1 << ci)) != 0]
             for ci, L in enumerate(classes)}
 
 
-def _match_length_class(arr: np.ndarray, h2: np.ndarray, cand, taken: np.ndarray,
-                        syms: list, L: int):
+def _match_length_class(h8: np.ndarray, h2: np.ndarray, n: int, cand,
+                        taken: np.ndarray, syms: list, L: int):
     """All not-taken, non-overlapping matches of EVERY length-L symbol in
     one vector pass — the per-symbol loop this replaced was ~10x slower.
     Candidates come from the shared 4-byte prefix scan for L>=4 (far more
     selective than 2-byte on natural text) or a 2-byte LUT below that;
-    windows and symbols compare as big-endian uint64 keys (C integer
-    compare, no void memcmp)."""
-    n = len(arr)
+    windows compare against symbols as big-endian uint64 keys taken from
+    the shared rolling-key array (one gather + shift per class)."""
     if cand is None:
         lut = np.zeros(65536, dtype=bool)
         for _, s in syms:
@@ -124,9 +150,7 @@ def _match_length_class(arr: np.ndarray, h2: np.ndarray, cand, taken: np.ndarray
     cand = cand[~taken[cand]]
     if len(cand) == 0:
         return cand, cand
-    keys = np.zeros(len(cand), dtype=np.uint64)
-    for j in range(L):
-        keys = (keys << np.uint64(8)) | arr[cand + j]
+    keys = h8[cand] >> np.uint64(8 * (8 - L))
     sym_keys = np.array([int.from_bytes(bytes(s), "big") for _, s in syms],
                         dtype=np.uint64)
     sym_codes = np.array([c for c, _ in syms], dtype=np.int16)
@@ -162,16 +186,18 @@ def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
     multi = [(c, np.frombuffer(s, dtype=np.uint8)) for c, s in enumerate(table) if len(s) >= 2]
     single = {s[0]: c for c, s in enumerate(table) if len(s) == 1}
     if multi and n >= 2:
-        h2 = (arr[:-1].astype(np.uint16) << 8) | arr[1:]
+        h8 = _rolling_keys(arr)
         by_len: dict[int, list] = {}
         for c, s in multi:
             by_len.setdefault(len(s), []).append((c, s))
-        cand_by_len = _prefix_candidates(arr, by_len)
+        cand_by_len = _prefix_candidates(h8, n, by_len)
+        h2 = (h8 >> np.uint64(48)).astype(np.uint16)[: n - 1] \
+            if any(L < 4 for L in by_len) else None
         # longest length class first; within a class all symbols match in
         # one vector pass (leftmost-first tie-break instead of the old
         # per-symbol gain order — same format, ratio within noise)
         for L in sorted(by_len, reverse=True):
-            pos, codes = _match_length_class(arr, h2, cand_by_len.get(L),
+            pos, codes = _match_length_class(h8, h2, n, cand_by_len.get(L),
                                              taken, by_len[L], L)
             if len(pos) == 0:
                 continue

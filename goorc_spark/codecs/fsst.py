@@ -27,8 +27,8 @@ _LENGTHS = (8, 6, 4, 3, 2)
 def _rolling_keys(arr: np.ndarray) -> np.ndarray:
     """uint64 key per position: the next 8 bytes big-endian, zero-padded past
     the end — so the length-L window at position i is `h8[i] >> 8*(8-L)` for
-    any i + L <= len(arr). ONE array serves every length class (peak temp is
-    8x the input bytes; stripe columns are a few MB)."""
+    any i + L <= len(arr). Used by train() over the (64 KB) sample only;
+    the full-stream compress path uses the 4-byte variant below."""
     n = len(arr)
     pad = np.zeros(n + 7, dtype=np.uint8)
     pad[:n] = arr
@@ -101,7 +101,21 @@ def _drop_overlaps(pos: np.ndarray, codes: np.ndarray, L: int):
     return pos, codes
 
 
-def _prefix_candidates(h8: np.ndarray, n: int, by_len: dict) -> dict:
+def _rolling_keys4(arr: np.ndarray) -> np.ndarray:
+    """uint32 key per position: the next 4 bytes big-endian, zero-padded past
+    the end. The full-stream pass only ever needs 4 bytes — longer match
+    keys are reassembled SPARSELY at candidate positions from two gathers
+    (h4[c], h4[c+4]), so the stream-sized temp is 4x the input, not 8x."""
+    n = len(arr)
+    pad = np.zeros(n + 3, dtype=np.uint8)
+    pad[:n] = arr
+    h = np.zeros(n, dtype=np.uint32)
+    for j in range(4):
+        h = (h << np.uint32(8)) | pad[j:j + n]
+    return h
+
+
+def _prefix_candidates(h4: np.ndarray, n: int, by_len: dict) -> dict:
     """Candidate positions for every length class >= 4 from the shared
     rolling-key array: a 16-bit LUT on the top two bytes prefilters the
     stream (one gather kills ~99% of positions on natural text), then one
@@ -117,9 +131,10 @@ def _prefix_candidates(h8: np.ndarray, n: int, by_len: dict) -> dict:
             k = int.from_bytes(bytes(s[:4]), "big")
             pref_mask[k] = pref_mask.get(k, 0) | (1 << ci)
             lut[k >> 16] = True
-    h4 = (h8 >> np.uint64(32)).astype(np.uint32)[: n - 3]
-    cand0 = np.flatnonzero(lut[(h4 >> 16)]).astype(np.int32, copy=False)
-    hv = h4[cand0]
+    hw = h4[: n - 3]
+    cand0 = np.flatnonzero(lut[(hw >> np.uint32(16))]).astype(np.int32,
+                                                              copy=False)
+    hv = hw[cand0]
     pref = np.array(sorted(pref_mask), dtype=np.uint32)
     masks = np.array([pref_mask[int(k)] for k in pref], dtype=np.uint8)
     at = np.searchsorted(pref, hv)
@@ -131,14 +146,26 @@ def _prefix_candidates(h8: np.ndarray, n: int, by_len: dict) -> dict:
             for ci, L in enumerate(classes)}
 
 
-def _match_length_class(h8: np.ndarray, h2: np.ndarray, n: int, cand,
+def _match_length_class(h4: np.ndarray, h2: np.ndarray, n: int, cand,
                         taken: np.ndarray, syms: list, L: int):
     """All not-taken, non-overlapping matches of EVERY length-L symbol in
     one vector pass — the per-symbol loop this replaced was ~10x slower.
-    Candidates come from the shared 4-byte prefix scan for L>=4 (far more
-    selective than 2-byte on natural text) or a 2-byte LUT below that;
-    windows compare against symbols as big-endian uint64 keys taken from
-    the shared rolling-key array (one gather + shift per class)."""
+    2-byte symbols resolve through a direct 65536-entry code LUT (their
+    candidate set is the largest; no searchsorted at all). Longer classes
+    get candidates from the shared 4-byte prefix scan (L>=4) or the 2-byte
+    LUT (L=3) and compare as big-endian integer keys gathered sparsely from
+    the rolling-key array."""
+    if L == 2:
+        code_lut = np.full(65536, -1, dtype=np.int16)
+        for c, s in syms:
+            code_lut[(int(s[0]) << 8) | int(s[1])] = c
+        cand = np.flatnonzero(code_lut[h2] >= 0).astype(np.int32, copy=False)
+        cand = cand[~taken[cand]]
+        if len(cand) == 0:
+            return cand, cand
+        codes = code_lut[h2[cand]]
+        ok = ~taken[cand + 1]
+        return _drop_overlaps(cand[ok], codes[ok], 2)
     if cand is None:
         lut = np.zeros(65536, dtype=bool)
         for _, s in syms:
@@ -150,7 +177,13 @@ def _match_length_class(h8: np.ndarray, h2: np.ndarray, n: int, cand,
     cand = cand[~taken[cand]]
     if len(cand) == 0:
         return cand, cand
-    keys = h8[cand] >> np.uint64(8 * (8 - L))
+    if L == 3:
+        keys = (h4[cand] >> np.uint32(8)).astype(np.uint64)
+    elif L == 4:
+        keys = h4[cand].astype(np.uint64)
+    else:
+        keys = ((h4[cand].astype(np.uint64) << np.uint64(8 * (L - 4)))
+                | (h4[cand + 4].astype(np.uint64) >> np.uint64(8 * (8 - L))))
     sym_keys = np.array([int.from_bytes(bytes(s), "big") for _, s in syms],
                         dtype=np.uint64)
     sym_codes = np.array([c for c, _ in syms], dtype=np.int16)
@@ -186,18 +219,18 @@ def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
     multi = [(c, np.frombuffer(s, dtype=np.uint8)) for c, s in enumerate(table) if len(s) >= 2]
     single = {s[0]: c for c, s in enumerate(table) if len(s) == 1}
     if multi and n >= 2:
-        h8 = _rolling_keys(arr)
+        h4 = _rolling_keys4(arr)
         by_len: dict[int, list] = {}
         for c, s in multi:
             by_len.setdefault(len(s), []).append((c, s))
-        cand_by_len = _prefix_candidates(h8, n, by_len)
-        h2 = (h8 >> np.uint64(48)).astype(np.uint16)[: n - 1] \
+        cand_by_len = _prefix_candidates(h4, n, by_len)
+        h2 = (h4 >> np.uint32(16)).astype(np.uint16)[: n - 1] \
             if any(L < 4 for L in by_len) else None
         # longest length class first; within a class all symbols match in
         # one vector pass (leftmost-first tie-break instead of the old
         # per-symbol gain order — same format, ratio within noise)
         for L in sorted(by_len, reverse=True):
-            pos, codes = _match_length_class(h8, h2, n, cand_by_len.get(L),
+            pos, codes = _match_length_class(h4, h2, n, cand_by_len.get(L),
                                              taken, by_len[L], L)
             if len(pos) == 0:
                 continue

@@ -66,9 +66,18 @@ def bits_required_fast(u: np.ndarray) -> np.ndarray:
     return np.maximum(out, 1)
 
 
+_ALIGNED = (1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64)
+
+
 def aligned_width(w: int) -> int:
-    """Smallest aligned width >= w (the reference's getAlignedWidth)."""
-    return int(ALIGNED_WIDTHS[np.searchsorted(ALIGNED_WIDTHS, max(int(w), 1))])
+    """Smallest aligned width >= w (the reference's getAlignedWidth). Scalar
+    scan over 11 entries — called once per RLEv2 block, where an
+    np.searchsorted was ~100x the cost of the comparison itself."""
+    w = int(w)
+    for cand in _ALIGNED:
+        if cand >= w:
+            return cand
+    return 64
 
 
 def closest_width(w: int) -> int:
@@ -156,6 +165,26 @@ def decode_uvarints(data: bytes | memoryview, count: int, offset: int = 0):
 def encode_svarints(values: np.ndarray) -> bytes:
     """Signed varints = zigzag + LEB128 (Go binary.PutVarint convention)."""
     return encode_uvarints(zigzag(np.asarray(values, dtype=np.int64)))
+
+
+def uvarint1(u: int) -> bytes:
+    """ONE LEB128 varint from a Python int — byte-identical to
+    encode_uvarints([u]) but without the numpy array setup, which dominated
+    the per-block RLEv2 write path (every DELTA block writes 2-3 one-value
+    varints)."""
+    out = bytearray()
+    while u >= 0x80:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+    return bytes(out)
+
+
+def svarint1(v: int) -> bytes:
+    """ONE zigzag varint from a Python int (scalar twin of encode_svarints;
+    Python's arithmetic >> makes the int64 zigzag identity exact for the
+    full range including -2^63)."""
+    return uvarint1((v << 1) ^ (v >> 63))
 
 
 def decode_svarints(data, count: int, offset: int = 0):

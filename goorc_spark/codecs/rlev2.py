@@ -29,9 +29,9 @@ from goorc_spark.codecs.primitives import (
     aligned_width,
     decode_svarints,
     decode_uvarints,
-    encode_svarints,
-    encode_uvarints,
+    svarint1,
     unzigzag,
+    uvarint1,
     width_to_code,
     zigzag,
 )
@@ -139,7 +139,8 @@ def _write_short_repeat_single(out, block, signed):
 
 
 def _write_short_repeat(out, value, count, signed):
-    u = int(zigzag(np.array([value]))[0]) if signed else int(value)
+    v = int(value)
+    u = ((v << 1) ^ (v >> 63)) if signed else v
     nbytes = max((u.bit_length() + 7) // 8, 1)
     out.append((_SHORT_REPEAT << 6) | ((nbytes - 1) << 3) | (count - MIN_REPEAT))
     out += u.to_bytes(nbytes, "big")
@@ -150,11 +151,8 @@ def _write_fixed_delta(out, base, delta, count, signed):
     h = (_DELTA << 6) | (0 << 1) | ((count - 1) >> 8)
     out.append(h)
     out.append((count - 1) & 0xFF)
-    if signed:
-        out += encode_svarints(np.array([base], dtype=np.int64))
-    else:
-        out += encode_uvarints(np.array([base], dtype=np.uint64))
-    out += encode_svarints(np.array([delta], dtype=np.int64))
+    out += svarint1(int(base)) if signed else uvarint1(int(base))
+    out += svarint1(int(delta))
 
 
 def _write_var_delta(out, base, deltas, signed):
@@ -166,11 +164,8 @@ def _write_var_delta(out, base, deltas, signed):
     h = (_DELTA << 6) | (width_to_code(w) << 1) | ((count - 1) >> 8)
     out.append(h)
     out.append((count - 1) & 0xFF)
-    if signed:
-        out += encode_svarints(np.array([base], dtype=np.int64))
-    else:
-        out += encode_uvarints(np.array([base], dtype=np.uint64))
-    out += encode_svarints(np.array([int(deltas[0])], dtype=np.int64))
+    out += svarint1(int(base)) if signed else uvarint1(int(base))
+    out += svarint1(int(deltas[0]))
     out += bitpack.pack(lits, w)
 
 
@@ -214,7 +209,7 @@ def _try_patched_base(out: bytearray, block) -> bool:
         patches.append(p)
     if len(gaps) > 31:
         return False
-    pgw = max(int(bits_required_fast(np.array([max(gaps)], dtype=np.uint64))[0]), 1)
+    pgw = max(max(gaps).bit_length(), 1)
     mag = abs(base)
     bw = max((mag.bit_length() + 1 + 7) // 8, 1)
     if bw > 8:

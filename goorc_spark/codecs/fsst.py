@@ -115,62 +115,71 @@ def _rolling_keys4(arr: np.ndarray) -> np.ndarray:
     return h
 
 
-def _prefix_candidates(h4: np.ndarray, n: int, by_len: dict) -> dict:
-    """Candidate positions for every length class >= 4 from the shared
-    rolling-key array: a 16-bit LUT on the top two bytes prefilters the
-    stream (one gather kills ~99% of positions on natural text), then one
-    searchsorted against the sorted union of the symbols' 4-byte prefixes
-    resolves a per-prefix class bitmask."""
-    classes = [L for L in by_len if L >= 4]
-    if not classes or n < 4:
-        return {}
+def _candidate_scan(h4: np.ndarray, n: int, by_len: dict) -> dict:
+    """Candidate positions for EVERY length class from ONE full-stream pass:
+    a 65536-entry LUT on the leading two bytes carries a per-class bitmask
+    (exact key for 2/3-byte classes, prefilter for >=4), so one gather + one
+    flatnonzero replaces the three separate membership scans. Classes >= 4
+    are then refined by one shared searchsorted against the sorted union of
+    their symbols' 4-byte prefixes."""
+    classes = sorted(by_len, reverse=True)
+    lut = np.zeros(65536, dtype=np.uint8)
     pref_mask: dict[int, int] = {}
-    lut = np.zeros(65536, dtype=bool)
     for ci, L in enumerate(classes):
+        bit = 1 << ci
         for _, s in by_len[L]:
-            k = int.from_bytes(bytes(s[:4]), "big")
-            pref_mask[k] = pref_mask.get(k, 0) | (1 << ci)
-            lut[k >> 16] = True
-    hw = h4[: n - 3]
-    cand0 = np.flatnonzero(lut[(hw >> np.uint32(16))]).astype(np.int32,
-                                                              copy=False)
-    hv = hw[cand0]
-    pref = np.array(sorted(pref_mask), dtype=np.uint32)
-    masks = np.array([pref_mask[int(k)] for k in pref], dtype=np.uint8)
-    at = np.searchsorted(pref, hv)
-    at[at == len(pref)] = 0
-    hit = pref[at] == hv
-    hits = cand0[hit]
-    hit_masks = masks[at[hit]]
-    return {L: hits[(hit_masks & (1 << ci)) != 0]
-            for ci, L in enumerate(classes)}
+            if L >= 4:
+                k = int.from_bytes(bytes(s[:4]), "big")
+                pref_mask[k] = pref_mask.get(k, 0) | bit
+                lut[k >> 16] |= bit
+            else:
+                lut[(int(s[0]) << 8) | int(s[1])] |= bit
+    m = lut[(h4 >> np.uint32(16))[: n - 1]]
+    candall = np.flatnonzero(m).astype(np.int32, copy=False)
+    mall = m[candall]
+    empty = np.empty(0, dtype=np.int32)
+    out: dict[int, np.ndarray] = {L: empty for L in classes}
+    hi = [(ci, L) for ci, L in enumerate(classes) if L >= 4]
+    if hi and n >= 4:
+        hibits = 0
+        for ci, _ in hi:
+            hibits |= 1 << ci
+        c0 = candall[(mall & hibits) != 0]
+        c0 = c0[c0 <= n - 4]
+        hv = h4[c0]
+        pref = np.array(sorted(pref_mask), dtype=np.uint32)
+        masks = np.array([pref_mask[int(k)] for k in pref], dtype=np.uint8)
+        at = np.searchsorted(pref, hv)
+        at[at == len(pref)] = 0
+        hit = pref[at] == hv
+        hits = c0[hit]
+        hit_masks = masks[at[hit]]
+        for ci, L in hi:
+            out[L] = hits[(hit_masks & (1 << ci)) != 0]
+    for ci, L in enumerate(classes):
+        if L < 4:
+            out[L] = candall[(mall & (1 << ci)) != 0]
+    return out
 
 
-def _match_length_class(h4: np.ndarray, h2: np.ndarray, n: int, cand,
+def _match_length_class(h4: np.ndarray, n: int, cand,
                         taken: np.ndarray, syms: list, L: int):
     """All not-taken, non-overlapping matches of EVERY length-L symbol in
     one vector pass — the per-symbol loop this replaced was ~10x slower.
     2-byte symbols resolve through a direct 65536-entry code LUT (their
     candidate set is the largest; no searchsorted at all). Longer classes
-    get candidates from the shared 4-byte prefix scan (L>=4) or the 2-byte
-    LUT (L=3) and compare as big-endian integer keys gathered sparsely from
-    the rolling-key array."""
+    compare as big-endian integer keys gathered sparsely from the
+    rolling-key array."""
     if L == 2:
-        code_lut = np.full(65536, -1, dtype=np.int16)
-        for c, s in syms:
-            code_lut[(int(s[0]) << 8) | int(s[1])] = c
-        cand = np.flatnonzero(code_lut[h2] >= 0).astype(np.int32, copy=False)
         cand = cand[~taken[cand]]
         if len(cand) == 0:
             return cand, cand
-        codes = code_lut[h2[cand]]
+        code_lut = np.full(65536, -1, dtype=np.int16)
+        for c, s in syms:
+            code_lut[(int(s[0]) << 8) | int(s[1])] = c
+        codes = code_lut[(h4[cand] >> np.uint32(16))]
         ok = ~taken[cand + 1]
         return _drop_overlaps(cand[ok], codes[ok], 2)
-    if cand is None:
-        lut = np.zeros(65536, dtype=bool)
-        for _, s in syms:
-            lut[(int(s[0]) << 8) | int(s[1])] = True
-        cand = np.flatnonzero(lut[h2]).astype(np.int32, copy=False)
     cand = cand[cand <= n - L]
     if len(cand) == 0:
         return cand, cand
@@ -223,14 +232,12 @@ def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
         by_len: dict[int, list] = {}
         for c, s in multi:
             by_len.setdefault(len(s), []).append((c, s))
-        cand_by_len = _prefix_candidates(h4, n, by_len)
-        h2 = (h4 >> np.uint32(16)).astype(np.uint16)[: n - 1] \
-            if any(L < 4 for L in by_len) else None
+        cand_by_len = _candidate_scan(h4, n, by_len)
         # longest length class first; within a class all symbols match in
         # one vector pass (leftmost-first tie-break instead of the old
         # per-symbol gain order — same format, ratio within noise)
         for L in sorted(by_len, reverse=True):
-            pos, codes = _match_length_class(h4, h2, n, cand_by_len.get(L),
+            pos, codes = _match_length_class(h4, n, cand_by_len[L],
                                              taken, by_len[L], L)
             if len(pos) == 0:
                 continue

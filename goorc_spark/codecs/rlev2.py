@@ -121,16 +121,96 @@ def _encode_block(out: bytearray, block, signed: bool, r: int,
                 deltas = d[: m - 1]
                 if bool((deltas == d0).all()):
                     _write_fixed_delta(out, block[0], d0, m, signed)
-                else:
-                    _write_var_delta(out, block[0], deltas, signed)
+                    return m
+                # width-outlier split (chooser-only; format unchanged): a
+                # rare huge jump inside an otherwise-narrow monotone run
+                # (e.g. a conversation boundary in a sorted timestamp
+                # column) would inflate EVERY bitpacked literal to the
+                # jump's aligned width. End the run just before the first
+                # outlier — the jump then becomes the NEXT run's varint
+                # delta_base (a few bytes once) instead of widening m-2
+                # literals. Observed on transcripts ts: 28.4 -> ~11
+                # bits/value.
+                if m > MIN_DELTA_RUN + 1:
+                    absd = np.abs(deltas[1:]).astype(np.uint64)
+                    w_full = aligned_width(
+                        max(int(absd.max()).bit_length(), 1))
+                    # scalar pre-check: nothing to win from splitting an
+                    # already-narrow run; skips the per-value bits pass
+                    if w_full > 8:
+                        lit_bits = bits_required_fast(absd)
+                        srt = np.sort(lit_bits)
+                        w90 = aligned_width(
+                            int(srt[int(0.9 * (len(srt) - 1))]))
+                    else:
+                        w90 = w_full
+                    if w_full > w90:
+                        big = np.flatnonzero(lit_bits > w90)
+                        j = int(big[0]) + 1  # index into deltas
+                        # worth a new block header only if the tail would
+                        # have widened enough literal bits (a 2-4 value
+                        # prefix run is still format-legal and beats
+                        # widening the tail)
+                        if (w_full - w90) * (m - 1 - j) >= 128:
+                            _write_var_delta(out, block[0], deltas[:j], signed)
+                            return j + 1
+                _write_var_delta(out, block[0], deltas, signed)
                 return m
 
-    # literal block
-    if signed:
-        if _try_patched_base(out, block):
-            return n
-    _write_direct(out, block, signed)
-    return n
+    # whole-block PATCHED_BASE first — matches the reference chooser (and
+    # its pinned byte vectors): skewed-but-narrow data patches better than
+    # splitting
+    if signed and _try_patched_base(out, block):
+        return n
+    # literal segment — bounded at the start of the next encodable run
+    # (chooser-only; format unchanged). Without the bound, one ragged
+    # 2-3-value head (e.g. the down-then-up wiggle at a sorted-key group
+    # boundary) forced the WHOLE remaining block to literals at the
+    # absolute values' width; on transcripts ts that put half the column
+    # in 32-bit DIRECT blocks.
+    lit_n = n
+    if len(d) >= MIN_DELTA_RUN:
+        # max zigzag width from two scalars — zigzag is monotone in |v|
+        mx, mn = int(block.max()), int(block.min())
+        zmax = max((mx << 1) ^ (mx >> 63), (mn << 1) ^ (mn >> 63)) \
+            if signed else mx
+        direct_w = aligned_width(max(zmax.bit_length(), 1))
+        # only hunt for a cut when direct literals are actually wide —
+        # bounding an already-narrow block (e.g. random 8-bit lengths)
+        # would fragment it into tiny runs for no size gain
+        if direct_w > 8:
+            s = np.sign(d)
+            change = np.flatnonzero(s[1:] != s[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(s)]))
+            for st, en in zip(starts.tolist(), ends.tolist()):
+                if st == 0:
+                    continue  # the head run failed the branches above
+                long_mono = s[st] != 0 and en - st >= MIN_DELTA_RUN - 1
+                long_flat = s[st] == 0 and en - st >= MIN_REPEAT
+                if long_mono or long_flat:
+                    # cut only if the run really is much narrower than the
+                    # literals it would otherwise widen into; judge by the
+                    # run's p90 width — a late outlier INSIDE the run is
+                    # the delta writer's own width-outlier split's job
+                    if long_flat:
+                        w_run = 0
+                    else:
+                        rabs = np.abs(d[st:en]).astype(np.uint64)
+                        w_run = aligned_width(
+                            max(int(rabs.max()).bit_length(), 1))
+                        if 2 * w_run > direct_w:  # max failed; decide by p90
+                            rb = np.sort(bits_required_fast(rabs))
+                            w_run = aligned_width(
+                                int(rb[int(0.9 * (len(rb) - 1))]))
+                    if 2 * w_run <= direct_w:
+                        lit_n = st  # next _encode_block starts ON the run
+                    break  # evaluate the first long run only, cut or not
+    seg = block[:lit_n]
+    if signed and lit_n < n and _try_patched_base(out, seg):
+        return lit_n
+    _write_direct(out, seg, signed)
+    return lit_n
 
 
 def _write_short_repeat_single(out, block, signed):
@@ -158,7 +238,7 @@ def _write_fixed_delta(out, base, delta, count, signed):
 def _write_var_delta(out, base, deltas, signed):
     count = len(deltas) + 1
     lits = np.abs(deltas[1:]).astype(np.uint64)
-    w = aligned_width(int(bits_required_fast(lits).max())) if len(lits) else 2
+    w = aligned_width(max(int(lits.max()).bit_length(), 1)) if len(lits) else 2
     if w == 1:
         w = 2  # width code 0 is reserved for fixed delta
     h = (_DELTA << 6) | (width_to_code(w) << 1) | ((count - 1) >> 8)
@@ -171,7 +251,7 @@ def _write_var_delta(out, base, deltas, signed):
 
 def _write_direct(out, block, signed):
     u = zigzag(block) if signed else block.astype(np.uint64)
-    w = aligned_width(int(bits_required_fast(u).max()))
+    w = aligned_width(max(int(u.max()).bit_length(), 1))
     n = len(block)
     h = (_DIRECT << 6) | (width_to_code(w) << 1) | ((n - 1) >> 8)
     out.append(h)
@@ -194,7 +274,7 @@ def _try_patched_base(out: bytearray, block) -> bool:
         return False  # no outliers worth patching
     patch_idx = np.flatnonzero(bits > w90)
     patch_vals = (diff[patch_idx] >> np.uint64(w90)).astype(np.uint64)
-    pw = closest_width(int(bits_required_fast(patch_vals).max()))
+    pw = closest_width(max(int(patch_vals.max()).bit_length(), 1))
     # gaps, chaining gaps > 255 with (255, 0) filler entries
     gaps_raw = np.diff(patch_idx, prepend=0).astype(np.int64)
     gaps_raw[0] = int(patch_idx[0])
@@ -210,6 +290,8 @@ def _try_patched_base(out: bytearray, block) -> bool:
     if len(gaps) > 31:
         return False
     pgw = max(max(gaps).bit_length(), 1)
+    if pgw + pw > 64:  # an entry must fit one uint64 (shift by pw below)
+        return False
     mag = abs(base)
     bw = max((mag.bit_length() + 1 + 7) // 8, 1)
     if bw > 8:

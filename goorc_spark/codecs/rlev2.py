@@ -19,6 +19,8 @@ monotonic delta, then patched-base for skewed signed data, else direct):
 
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 
 from goorc_spark.codecs import bitpack
@@ -77,15 +79,34 @@ def encode(values, signed: bool = True, info: dict | None = None) -> bytes:
         neq = np.empty(0, bool)
         dall = np.empty(0, np.int64)
     huge_unsigned = (not signed) and n and int(v.max()) > (1 << 62)
+    # whole-vector run-boundary indices, consumed via bisect: per-block
+    # head-run and monotone-prefix detection become O(log) scalar lookups
+    # instead of O(block) numpy passes (python lists — a per-block scalar
+    # np.searchsorted costs ~40us in wrapper overhead alone)
+    neq_list = np.flatnonzero(neq).tolist()
+    neg_list = np.flatnonzero(dall < 0).tolist()
+    posd_list = np.flatnonzero(dall > 0).tolist()
     pos = 0
     while pos < n:
         mark = len(out)
-        block = v[pos : pos + MAX_RUN]
-        seg = neq[pos : pos + len(block) - 1]  # view, no copy
-        head_run = int(seg.argmax()) + 1 if seg.any() else len(block)
-        pos += _encode_block(out, block, signed, head_run,
-                             dall[pos : pos + len(block) - 1],
-                             huge_unsigned)
+        blk_len = min(MAX_RUN, n - pos)
+        block = v[pos : pos + blk_len]
+        qi = bisect.bisect_left(neq_list, pos)
+        if qi < len(neq_list) and neq_list[qi] - pos < blk_len - 1:
+            head_run = neq_list[qi] - pos + 1
+        else:
+            head_run = blk_len
+        d = dall[pos : pos + blk_len - 1]  # view, no copy
+        if blk_len > 1:
+            d0 = int(d[0])
+            opp = neg_list if d0 > 0 else posd_list
+            oi = bisect.bisect_left(opp, pos)
+            nxt = opp[oi] - pos if oi < len(opp) else blk_len - 1
+            mono_m = min(nxt, blk_len - 1) + 1  # values in monotone prefix
+        else:
+            d0, mono_m = 0, 1
+        pos += _encode_block(out, block, signed, head_run, d,
+                             huge_unsigned, d0, mono_m)
         if info is not None and len(out) > mark:
             sub = SUB_NAMES[out[mark] >> 6]
             info[sub] = info.get(sub, 0) + 1
@@ -93,7 +114,8 @@ def encode(values, signed: bool = True, info: dict | None = None) -> bytes:
 
 
 def _encode_block(out: bytearray, block, signed: bool, r: int,
-                  d: np.ndarray, huge_unsigned: bool) -> int:
+                  d: np.ndarray, huge_unsigned: bool,
+                  d0: int, mono_m: int) -> int:
     n = len(block)
     if n == 1:
         _write_short_repeat_single(out, block[:1], signed)
@@ -110,13 +132,8 @@ def _encode_block(out: bytearray, block, signed: bool, r: int,
     # huge_unsigned = the VECTOR contains >2^62 values; the per-block check
     # then decides exactly as before (byte-identical output)
     if not (huge_unsigned and int(block.max()) > (1 << 62)):
-        d0 = int(d[0])
         if d0 != 0:
-            if d0 > 0:
-                bad = np.flatnonzero(d < 0)
-            else:
-                bad = np.flatnonzero(d > 0)
-            m = (int(bad[0]) if len(bad) else len(d)) + 1  # values in prefix
+            m = mono_m
             if m >= MIN_DELTA_RUN or (m == n and m >= MIN_REPEAT):
                 deltas = d[: m - 1]
                 if bool((deltas == d0).all()):

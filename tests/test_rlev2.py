@@ -184,3 +184,54 @@ def test_svarint_roundtrip():
     dec, off = decode_svarints(enc, len(v))
     np.testing.assert_array_equal(dec, v)
     assert off == len(enc)
+
+
+# ---- round-2 chooser behaviors (format unchanged, segmentation smarter) ----
+
+
+def test_outlier_split_keeps_conv_boundary_jumps_out_of_literals():
+    """Sorted-by-key timestamps: ~8-bit in-run deltas with a huge jump at
+    every run boundary must encode near the delta entropy, not at the
+    jump's 32-bit width (the pre-split encoder emitted 28+ bits/value)."""
+    rng = np.random.default_rng(11)
+    runs = []
+    t = 1_000_000_000
+    for _ in range(200):
+        t += int(rng.integers(1 << 24, 1 << 27))  # boundary jump, always up
+        steps = rng.integers(1, 200, size=44)     # 44 small increments
+        runs.append(t + np.cumsum(steps))
+        t = int(runs[-1][-1])
+    v = np.concatenate(runs)
+    enc = rt(v)
+    assert len(enc) * 8 / len(v) < 14  # ~10-bit deltas + headers + jumps
+
+
+def test_literal_segment_bounded_by_next_run():
+    """A ragged 3-value head must not force the whole block to wide
+    literals when a long narrow monotone run follows."""
+    head = np.array([500_000_000, 499_000_000, 499_500_000], dtype=np.int64)
+    run = 499_500_000 + np.cumsum(np.random.default_rng(5).integers(
+        1, 100, size=500))
+    v = np.concatenate([head, run])
+    enc = rt(v)
+    # ~8 bits/value overall; unbounded wide literals were 4 B/value
+    assert len(enc) * 8 / len(v) < 12
+
+
+def test_narrow_blocks_not_fragmented():
+    """Random 8-bit data (direct width == 8) must stay one DIRECT block per
+    512 values — the literal bound must not split narrow blocks."""
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 120, size=2048).astype(np.int64)
+    info = {}
+    enc = rlev2.encode(v, signed=True, info=info)
+    np.testing.assert_array_equal(rlev2.decode(enc, len(v), signed=True), v)
+    assert sum(info.values()) <= 6  # ~4 blocks of 512 (+ rare head repeats)
+
+
+def test_patched_base_wide_patch_entry_falls_back():
+    """Regression: w90=1 with a ~2^57 outlier made pgw+pw exceed 64 bits and
+    corrupted the patch blob; such blocks must fall back to DIRECT."""
+    v = np.array([0, 0, 1 << 57, 1, 0, 2, 1, 0, 3, 1, 2, 0], dtype=np.int64)
+    rt(v)
+    rt(np.array([0, 0, 2_658_455_991_569_831_727 % (1 << 62)], dtype=np.int64))

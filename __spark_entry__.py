@@ -113,6 +113,23 @@ def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ord_lo=2, ord_hi=10)
 
 
+def _point_lookup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point read under HASH partitioning, where every stripe's
+    [key_min, key_max] lineage range spans the whole key space and range
+    pruning is useless: the per-stripe Bloom filter over distinct keys
+    (engine.BLOOM_BITS / BLOOM_K, the ORC bloom-filter index idea at
+    stripe granularity) is what skips stripes. Same answer as point_lookup;
+    tests/test_bloom.py asserts the skip actually happens."""
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=4 * 1024 * 1024, partitions=8,
+                              rg_rows=500, run_id="plh")
+    stripes = engine.encode_df(df, cfg)
+    return engine.read_rows(stripes, transcripts.TRANSCRIPTS_SPEC, "conv_id",
+                            "conv-00000001", ord_col="turn_idx",
+                            ord_lo=2, ord_hi=10)
+
+
 def _range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-predicate seek on a non-string column via per-row-group
     [min,max] stats (reference RowIndexEntry statistics): events are
@@ -200,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _orc_roundtrip,
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
+        "point_lookup_hash": _point_lookup_hash,
         "range_scan": _range_scan,
         "encode_lineage": _encode_lineage,
         "stream_conv_stats": _stream_conv_stats,
@@ -397,6 +415,10 @@ FROM ({transcripts.ORACLE_SQL}) GROUP BY conv_id
             f"SELECT conv_id, turn_idx, text FROM ({transcripts.ORACLE_SQL})"
         ),
         "point_lookup": (
+            f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
+            "WHERE conv_id = 'conv-00000001' AND turn_idx BETWEEN 2 AND 10"
+        ),
+        "point_lookup_hash": (
             f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
             "WHERE conv_id = 'conv-00000001' AND turn_idx BETWEEN 2 AND 10"
         ),

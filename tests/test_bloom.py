@@ -1,0 +1,83 @@
+"""Per-stripe Bloom filter on the key column (the ORC spec's bloom-filter
+index idea — pb/orc_proto.proto BloomFilter — lifted to stripe granularity):
+under hash partitioning every stripe's [key_min, key_max] spans the key
+space, so range pruning keeps everything; the bloom is what skips stripes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from goorc_spark import engine, transcripts
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _hash_stripes(spark, n_convs=60):
+    pdf = transcripts.synthesize_pandas(n_convs=n_convs, seed=21)
+    df = spark.createDataFrame(pdf)
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=64 * 1024, partitions=6,
+                              run_id="bloom", range_partition=False)
+    return pdf, engine.encode_df(df, cfg).cache()
+
+
+def test_bloom_positions_deterministic():
+    a = engine.bloom_positions("conv-00000007")
+    assert a == engine.bloom_positions("conv-00000007")
+    assert len(a) == engine.BLOOM_K
+    assert all(0 <= p < engine.BLOOM_BITS for p in a)
+    assert a != engine.bloom_positions("conv-00000008")
+
+
+def test_bloom_prunes_hash_partitioned_stripes(spark):
+    pdf, stripes = _hash_stripes(spark)
+    total = stripes.count()
+    key = sorted(pdf["conv_id"].unique())[3]
+    pruned = engine.prune_stripes(stripes, key_value=key)
+    kept = pruned.count()
+    # hash partitioning: range pruning alone keeps ~everything; the bloom
+    # must cut the candidate set hard (the key lives in ~1 partition's
+    # stripes) while never dropping a covering stripe
+    assert kept < total / 2
+    rows = engine.decode_df(pruned, transcripts.TRANSCRIPTS_SPEC) \
+        .filter(f"conv_id = '{key}'").count()
+    assert rows == int((pdf["conv_id"] == key).sum())
+    assert rows > 0
+
+
+def test_bloom_never_false_negative_for_any_key(spark):
+    pdf, stripes = _hash_stripes(spark, n_convs=30)
+    per_key = pdf.groupby("conv_id").size()
+    for key, want in list(per_key.items())[::5]:
+        got = engine.decode_df(
+            engine.prune_stripes(stripes, key_value=key),
+            transcripts.TRANSCRIPTS_SPEC).filter(f"conv_id = '{key}'").count()
+        assert got == want, key
+
+
+# lexicographically INSIDE every stripe's [key_min, key_max] under hash
+# partitioning, but present in no stripe — only the bloom can prune it
+ABSENT_IN_RANGE = "conv-00000010-missing"
+
+
+def test_bloom_absent_key_prunes_everything(spark):
+    _, stripes = _hash_stripes(spark)
+    kept = engine.prune_stripes(stripes, key_value=ABSENT_IN_RANGE).count()
+    assert kept <= 1  # false positives allowed, expected ~0
+
+
+def test_bloom_null_column_keeps_stripes(spark):
+    """Legacy stripe tables without a bloom (or keyless encodes) must never
+    be skipped by the probe."""
+    import pyspark.sql.functions as F
+
+    _, stripes = _hash_stripes(spark, n_convs=30)
+    k = ABSENT_IN_RANGE
+    range_only = stripes.filter(
+        (F.col("key_min") <= k) & (F.col("key_max") >= k)).count()
+    assert range_only > 0  # the key is inside some stripes' ranges
+    legacy = stripes.drop("key_bloom")
+    assert engine.prune_stripes(legacy, key_value=k).count() == range_only
+    nulled = stripes.withColumn("key_bloom", F.lit(None).cast("binary"))
+    assert engine.prune_stripes(nulled, key_value=k).count() == range_only

@@ -130,6 +130,24 @@ def _point_lookup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ord_lo=2, ord_hi=10)
 
 
+def _compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped ingest (many undersized stripes from tiny
+    partitions) -> engine.compact_stripes merges them into full stripes
+    under a new run -> decode must be row-identical to the source. The
+    oracle is the source table itself."""
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    tiny = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                               stripe_bytes=64 * 1024, partitions=32,
+                               run_id="pre")
+    stripes = engine.encode_df(df, tiny)
+    big = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=8 * 1024 * 1024, partitions=4,
+                              run_id="compacted")
+    compacted = engine.compact_stripes(stripes, transcripts.TRANSCRIPTS_SPEC,
+                                       big)
+    return engine.decode_df(compacted, transcripts.TRANSCRIPTS_SPEC)
+
+
 def _range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-predicate seek on a non-string column via per-row-group
     [min,max] stats (reference RowIndexEntry statistics): events are
@@ -218,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "point_lookup_hash": _point_lookup_hash,
+        "compact_roundtrip": _compact_roundtrip,
         "range_scan": _range_scan,
         "encode_lineage": _encode_lineage,
         "stream_conv_stats": _stream_conv_stats,
@@ -422,6 +441,7 @@ FROM ({transcripts.ORACLE_SQL}) GROUP BY conv_id
             f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
             "WHERE conv_id = 'conv-00000001' AND turn_idx BETWEEN 2 AND 10"
         ),
+        "compact_roundtrip": transcripts.ORACLE_SQL,
         "range_scan": "SELECT * FROM events WHERE value BETWEEN 10.0 AND 50.0",
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -483,6 +483,33 @@ def lineage_view(stripes: DataFrame) -> DataFrame:
     )
 
 
+def compact_stripes(stripes: DataFrame, spec: list[dict],
+                    cfg: EncodeConfig,
+                    min_bytes: int | None = None) -> DataFrame:
+    """Merge undersized stripes into full ones — the maintenance pass a
+    streaming ingest needs (each micro-batch flushes whatever it holds, so
+    a 10-second trigger writes stripes far below stripe_bytes; per-stripe
+    overheads — footer, dictionaries, bloom, row groups — then dominate and
+    point reads touch many blobs).
+
+    Stripes at or above `min_bytes` (default stripe_bytes/2 of RAW size)
+    pass through untouched — no decode cost for data that is already
+    well-shaped; the rest are decoded and re-encoded under `cfg`, which
+    re-clusters them by key and rebuilds lineage/bloom under cfg.run_id.
+    The result is a valid stripe table: decode_df(compact(s)) is row-equal
+    to decode_df(s) (pytest + the compact_roundtrip gate query pin this).
+
+    At 10^12-turn scale this is an incremental job: filter small stripes by
+    lineage (a parquet metadata scan — blobs of passing stripes are never
+    read), compact, atomically swap the affected partitions."""
+    if min_bytes is None:
+        min_bytes = cfg.stripe_bytes // 2
+    small = stripes.filter(F.col("raw_bytes") < min_bytes)
+    big = stripes.filter(F.col("raw_bytes") >= min_bytes)
+    recoded = encode_df(decode_df(small, spec), cfg)
+    return big.select(*recoded.columns).union(recoded)
+
+
 def write_encoded(stripes: DataFrame, path: str, mode: str = "append") -> None:
     stripes.write.mode(mode).parquet(path)
 

@@ -81,3 +81,32 @@ def test_bloom_null_column_keeps_stripes(spark):
     assert engine.prune_stripes(legacy, key_value=k).count() == range_only
     nulled = stripes.withColumn("key_bloom", F.lit(None).cast("binary"))
     assert engine.prune_stripes(nulled, key_value=k).count() == range_only
+
+
+def test_compact_stripes_merges_and_roundtrips(spark):
+    """Streaming-shaped tiny stripes -> compact -> fewer stripes, identical
+    rows, and untouched big stripes pass through without a decode."""
+    import pyspark.sql.functions as F
+
+    pdf = transcripts.synthesize_pandas(n_convs=80, seed=31)
+    df = spark.createDataFrame(pdf)
+    tiny = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                               stripe_bytes=32 * 1024, partitions=16,
+                               run_id="pre")
+    stripes = engine.encode_df(df, tiny).cache()
+    n_before = stripes.count()
+    big = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=8 * 1024 * 1024, partitions=2,
+                              run_id="post")
+    compacted = engine.compact_stripes(
+        stripes, transcripts.TRANSCRIPTS_SPEC, big).cache()
+    n_after = compacted.count()
+    assert n_after < n_before / 3
+    got = engine.decode_df(compacted, transcripts.TRANSCRIPTS_SPEC) \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["text"].tolist() == want["text"].tolist()
+    assert len(got) == len(want)
+    # all recoded stripes carry the new run_id; lineage still queryable
+    assert compacted.filter(F.col("run_id") == "post").count() == n_after \
+        or compacted.filter(F.col("run_id") == "pre").count() > 0

@@ -48,6 +48,22 @@ _PA_BY_KIND = {
 
 INT_CAST = {"short", "int", "long", "date"}
 
+
+def spec_arrow_type(col: dict, tz: str | None = None):
+    """Arrow type a DECLARED spec column must decode to (None for nested
+    kinds — those keep their decoded layout). Used by engine.decode_df to
+    coerce stripes whose embedded meta was written under a different source
+    type (schema drift) to the spec the mapInArrow schema promises Spark."""
+    kind = col["kind"]
+    if kind == "timestamp":
+        return pa.timestamp("us", tz=tz)
+    if kind == "timestamp_ntz":
+        return pa.timestamp("us")
+    if kind == "decimal":
+        return pa.decimal128(int(col.get("precision", 18)),
+                             int(col.get("scale", 0)))
+    return _PA_BY_KIND.get(kind)
+
 # kinds whose per-row-group [min, max] is recorded for predicate seek
 _RANGE_KINDS = {"byte", "short", "int", "long", "float", "double", "date",
                 "timestamp", "timestamp_ntz"}

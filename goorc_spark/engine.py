@@ -368,7 +368,33 @@ def decode_df(stripes: DataFrame, spec: list[dict],
     tz = stripes.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def decode_stripes(batches):
+        import pyarrow as pa
+
         from goorc_spark import arrow_stripe
+
+        # the DECLARED spec wins over each stripe's embedded meta: stripes
+        # written from a differently-typed source (pandas Int32 inferred as
+        # LongType, schema evolution across runs) decode to their stored
+        # width, but Spark's ArrowColumnVector row accessors require the
+        # mapInArrow schema's exact type (a long vector under an int column
+        # throws on getInt). Cast any mismatched column to the spec type —
+        # a narrowing overflow is a real type error and should raise.
+        want = {c["name"]: arrow_stripe.spec_arrow_type(c, tz) for c in spec}
+
+        def coerce(batch):
+            arrays, changed = [], False
+            for f, arr in zip(batch.schema, batch.columns):
+                w = want.get(f.name)
+                if w is not None and arr.type != w:
+                    arr = arr.cast(w)
+                    changed = True
+                arrays.append(arr)
+            if not changed:
+                return batch
+            return pa.RecordBatch.from_arrays(
+                arrays, schema=pa.schema(
+                    [pa.field(f.name, a.type, f.nullable)
+                     for f, a in zip(batch.schema, arrays)]))
 
         for rb in batches:
             metas = rb.column("meta").to_pylist()
@@ -383,7 +409,7 @@ def decode_df(stripes: DataFrame, spec: list[dict],
                 out = arrow_stripe.decode_stripe_batch(
                     blobs[i].as_py(), meta, tz=tz, include=include,
                     rg_sel=rg_sel)
-                yield out
+                yield coerce(out)
 
     return stripes.select("meta", "blob").mapInArrow(decode_stripes,
                                                      schema=out_schema)

@@ -110,3 +110,20 @@ def test_compact_stripes_merges_and_roundtrips(spark):
     # all recoded stripes carry the new run_id; lineage still queryable
     assert compacted.filter(F.col("run_id") == "post").count() == n_after \
         or compacted.filter(F.col("run_id") == "pre").count() > 0
+
+
+def test_decode_coerces_schema_drift(spark):
+    """Stripes written under a LongType turn_idx (pandas int64 inferred as
+    bigint) must decode AND row-access under the canonical int32 spec —
+    regression for ArrowColumnVector.getInt throwing on a long vector."""
+    pdf = transcripts.synthesize_pandas(n_convs=10, seed=5)
+    pdf = pdf.assign(turn_idx=pdf["turn_idx"].astype("int64"))
+    df = spark.createDataFrame(pdf)
+    assert dict(df.dtypes)["turn_idx"] == "bigint"
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=1 << 20, partitions=2, run_id="dr")
+    stripes = engine.encode_df(df, cfg)
+    dec = engine.decode_df(stripes, transcripts.TRANSCRIPTS_SPEC)
+    # groupBy forces row access through the arrow vector (the old failure)
+    assert dec.groupBy("turn_idx").count().count() > 0
+    assert dict(dec.dtypes)["turn_idx"] == "int"

@@ -21,9 +21,16 @@ try:
     import pyarrow as _pa
 
     _ZSTD = _pa.Codec("zstd", compression_level=3)
+    # level 9 for big chunks only: the large chunks are the FSST'd text
+    # streams, where level 9 is ~3.5% smaller and decompression speed is
+    # level-independent; small post-RLEv2 integer streams stay on the fast
+    # level (measured: level up on them costs encode time for ~no bytes)
+    _ZSTD_HI = _pa.Codec("zstd", compression_level=9)
     _LZ4 = _pa.Codec("lz4")
 except Exception:  # pragma: no cover - pyarrow is baked into the env
-    _ZSTD = _LZ4 = None
+    _ZSTD = _ZSTD_HI = _LZ4 = None
+
+_ZSTD_HI_MIN = 64 * 1024
 
 DEFAULT_CHUNK_SIZE = 256 * 1024
 NONE = "none"
@@ -49,7 +56,8 @@ def _compress_one(raw: bytes, kind: str, level: int) -> bytes:
     if kind == ZLIB:
         return zlib.compress(raw, level)[2:-4]  # raw deflate, no zlib wrapper
     if kind == ZSTD:
-        return _ZSTD.compress(raw, asbytes=True)
+        c = _ZSTD_HI if len(raw) >= _ZSTD_HI_MIN else _ZSTD
+        return c.compress(raw, asbytes=True)
     if kind == LZ4:
         return _LZ4.compress(raw, asbytes=True)
     raise ValueError(f"unknown compression kind {kind!r}")

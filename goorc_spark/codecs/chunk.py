@@ -21,16 +21,16 @@ try:
     import pyarrow as _pa
 
     _ZSTD = _pa.Codec("zstd", compression_level=3)
-    # level 9 for big chunks only: the large chunks are the FSST'd text
-    # streams, where level 9 is ~3.5% smaller and decompression speed is
-    # level-independent; small post-RLEv2 integer streams stay on the fast
-    # level (measured: level up on them costs encode time for ~no bytes)
+    # level 9 for chunks above a few KB — mainly the FSST'd text streams,
+    # where it measures 3.5-4.6% smaller while decompression speed is
+    # level-independent; tiny post-RLEv2 integer streams stay on the fast
+    # level (leveling up there costs encode time for ~no bytes)
     _ZSTD_HI = _pa.Codec("zstd", compression_level=9)
     _LZ4 = _pa.Codec("lz4")
 except Exception:  # pragma: no cover - pyarrow is baked into the env
     _ZSTD = _ZSTD_HI = _LZ4 = None
 
-_ZSTD_HI_MIN = 64 * 1024
+_ZSTD_HI_MIN = 4 * 1024
 
 DEFAULT_CHUNK_SIZE = 256 * 1024
 NONE = "none"

@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _docs(s, d), n=3, threshold=0.8),
+        "dedup_keep": lambda s, d: dedup.dedup_keep(
+            _docs(s, d), n=3, threshold=0.8),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), k=12, bands=4, shingle=6),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
@@ -460,6 +462,28 @@ inter AS (
 )
 SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
 FROM inter WHERE round(inter / (na + nb - inter), 6) >= 0.8
+""",
+        "dedup_keep": f"""
+WITH sh AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM (SELECT doc_id, {sh3} AS shingles FROM documents)
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+near_losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM inter
+  WHERE round(inter / (na + nb - inter), 6) >= 0.8
+),
+exact_keep AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+  FROM documents
+)
+SELECT doc_id FROM exact_keep
+WHERE doc_id = keep AND doc_id NOT IN (SELECT doc_id FROM near_losers)
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),

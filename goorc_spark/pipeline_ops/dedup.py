@@ -340,3 +340,28 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFr
                 F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_keep(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Terminal dedup: the doc_ids a pipeline actually KEEPS. Exact
+    duplicates keep their lowest doc_id; near-duplicate pairs (exact n-gram
+    Jaccard >= threshold via the prefix-filtered join) drop the larger
+    doc_id of every pair. This is the standard greedy keep-first policy,
+    NOT transitive clustering: in a chain A~B~C without A~C, both B and C
+    are dropped (each loses a pair against a smaller id) — deterministic
+    given ids, and expressible identically in any SQL engine, which is what
+    puts it behind the DuckDB oracle gate."""
+    from pyspark.sql import Window
+
+    exact_losers = (
+        docs.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("h"))
+        .withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
+    )
+    near_losers = ngram_jaccard_pairs(docs, n=n, threshold=threshold) \
+        .select(F.col("doc_b").alias("doc_id"))
+    keep = (
+        exact_losers.filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id")
+        .join(near_losers.distinct(), "doc_id", "left_anti")
+    )
+    return keep

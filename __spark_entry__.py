@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), n=3, threshold=0.8),
         "dedup_keep": lambda s, d: dedup.dedup_keep(
             _docs(s, d), n=3, threshold=0.8),
+        "dedup_components": lambda s, d: dedup.dedup_components(
+            _docs(s, d), n=3, threshold=0.8),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), k=12, bands=4, shingle=6),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
@@ -484,6 +486,33 @@ exact_keep AS (
 )
 SELECT doc_id FROM exact_keep
 WHERE doc_id = keep AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+""",
+        "dedup_components": f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM (SELECT doc_id, {sh3} AS shingles FROM documents)
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE round(inter / (na + nb - inter), 6) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_simhash": _simhash_sql(),

@@ -365,3 +365,43 @@ def dedup_keep(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame
         .join(near_losers.distinct(), "doc_id", "left_anti")
     )
     return keep
+
+
+def dedup_components(docs: DataFrame, n: int = 3,
+                     threshold: float = 0.8, max_iters: int = 20) -> DataFrame:
+    """Transitive near-duplicate clusters: connected components over the
+    exact-Jaccard pair graph, labels = min doc_id reachable. Iterative
+    min-label propagation (each round: every node takes the min of its own
+    and its neighbors' labels) converges in <= graph-diameter rounds; the
+    driver loop checks ONE scalar per round (changed-count) and is bounded
+    by max_iters — at 10^9 docs near-dup components are shallow (dup
+    clusters, not social graphs), so diameter stays small; for adversarial
+    chains switch to large-star/small-star (same join shape, O(log n)
+    rounds). Returns (doc_id, component) for every document; singletons are
+    their own component."""
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))).distinct().cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("component").alias("nbr"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least("component", F.coalesce("nbr", "component"))
+                     .alias("component"))
+        ).cache()
+        changed = (
+            new.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .filter(F.col("component") != F.col("old")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -106,3 +106,30 @@ def test_ivf_topk_candidates_respect_cells(spark):
     assert len(top) == 5
     # all results come from the probed cells (<= 2 distinct cells)
     assert len({r["cell"] for r in top}) <= 2
+
+
+def test_components_transitive_chain(spark):
+    """A~B and B~C without A~C must land in ONE component (label = min id);
+    dedup_keep's greedy policy drops both B and C."""
+    import pandas as pd
+    from goorc_spark.pipeline_ops import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    w = ["zebra123", "quartz99", "vortex77", "maple555"]
+    a = base + " ".join(w[0:2])
+    b = base + " ".join(w[1:3])   # near a and near c (J ~0.70/0.72)
+    c = base + " ".join(w[2:4])   # J(a, c) ~0.55 < 0.6
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [a, b, c, "completely different text about ships"],
+    }))
+    pairs = {(r.doc_a, r.doc_b) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    comp = {r.doc_id: r.component for r in
+            dedup.dedup_components(docs, n=3, threshold=0.6).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == 4
+    keep = {r.doc_id for r in
+            dedup.dedup_keep(docs, n=3, threshold=0.6).collect()}
+    assert keep == {1, 4}

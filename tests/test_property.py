@@ -141,3 +141,48 @@ def test_rowgroup_roundtrip_property(n, rg):
         have = 0 if got is None else \
             int(pc.sum(pc.equal(got.column("k"), probe)).as_py() or 0)
         assert have == want
+
+
+# mixed-type whole-stripe roundtrip: random rows across every scalar kind
+# in one table, random row-group stride — the integration surface the
+# per-codec properties above can't cover (stream directory, PRESENT
+# interleaving, per-group codec restarts, selector choices)
+_texts = st.lists(
+    st.one_of(st.none(), st.text(max_size=40)), min_size=1, max_size=400)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_texts, st.integers(1, 200), st.randoms(use_true_random=False))
+def test_stripe_mixed_kinds_roundtrip(texts, rg, rnd):
+    import pyarrow as pa
+
+    from goorc_spark import arrow_stripe
+
+    n = len(texts)
+    ints = [rnd.choice([None, rnd.randint(-(2**31), 2**31 - 1), 7])
+            for _ in range(n)]
+    longs = [rnd.choice([0, 1, rnd.randint(-(2**62), 2**62)])
+             for _ in range(n)]
+    doubles = [rnd.choice([None, 0.0, rnd.random() * 1e12, -1.5])
+               for _ in range(n)]
+    bools = [rnd.choice([None, True, False]) for _ in range(n)]
+    bins = [rnd.choice([None, b"", bytes([rnd.randint(0, 255)]) * rnd.randint(1, 9)])
+            for _ in range(n)]
+    t = pa.table({
+        "s": pa.array(texts, pa.string()),
+        "i": pa.array(ints, pa.int32()),
+        "l": pa.array(longs, pa.int64()),
+        "d": pa.array(doubles, pa.float64()),
+        "b": pa.array(bools, pa.bool_()),
+        "y": pa.array(bins, pa.binary()),
+    })
+    spec = [{"name": "s", "kind": "string"}, {"name": "i", "kind": "int"},
+            {"name": "l", "kind": "long"}, {"name": "d", "kind": "double"},
+            {"name": "b", "kind": "bool"}, {"name": "y", "kind": "binary"}]
+    blob, meta = arrow_stripe.encode_stripe_table(t, spec, rg_rows=rg)
+    out = pa.Table.from_batches(
+        [arrow_stripe.decode_stripe_batch(blob, meta)])
+    for name in t.column_names:
+        want = t.column(name).combine_chunks()
+        got = out.column(name).combine_chunks().cast(want.type)
+        assert got.equals(want), name

@@ -385,7 +385,8 @@ def dedup_components(docs: DataFrame, n: int = 3,
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).distinct().cache()
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(max_iters):
+    prev = None
+    for it in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a").agg(F.min("component").alias("nbr"))
@@ -396,12 +397,17 @@ def dedup_components(docs: DataFrame, n: int = 3,
             .select("doc_id",
                     F.least("component", F.coalesce("nbr", "component"))
                      .alias("component"))
-        ).cache()
+        )
+        # truncate the growing iterative lineage every few rounds —
+        # without it a deep chain re-plans an ever-taller join tree
+        new = new.localCheckpoint(eager=False) if it % 4 == 3 else new.cache()
         changed = (
             new.join(labels.withColumnRenamed("component", "old"), "doc_id")
             .filter(F.col("component") != F.col("old")).count()
         )
-        labels = new
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = new, new
         if changed == 0:
             break
     return labels

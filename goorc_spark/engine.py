@@ -415,18 +415,63 @@ def decode_df(stripes: DataFrame, spec: list[dict],
                                                      schema=out_schema)
 
 
+MAX_PUSHDOWN_IDS = 2048
+
+# logical-plan node names that mean "reading storage, cheap to scan twice"
+_SCAN_NODES = ("LogicalRelation", "DataSourceV2Relation",
+               "DataSourceV2ScanRelation", "HiveTableRelation")
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True when the frame is a storage scan (optionally under
+    Project/Filter) — the only shape where a second pass costs one more
+    scan instead of recomputing an upstream job."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        while True:
+            name = plan.getClass().getSimpleName()
+            if name in _SCAN_NODES:
+                return True
+            if name in ("Project", "Filter") and plan.children().size() == 1:
+                plan = plan.children().head()
+                continue
+            return False
+    except Exception:
+        return False
+
+
 def read_rows(stripes: DataFrame, spec: list[dict], key_col: str,
               key_value, ord_col: str | None = None,
               ord_lo=None, ord_hi=None,
-              columns: list[str] | None = None) -> DataFrame:
+              columns: list[str] | None = None,
+              id_pushdown: bool | None = None) -> DataFrame:
     """Point/range read: the reference's Seek(row)+Skip path
     (/root/reference/orc/reader.go:199-212, orc/stripe.go:369-388) expressed
     over the stripe table. Three pruning levels, each cutting work before
-    the next: (1) stripe-level lineage range prune — skipped stripes' blob
-    column is never read off the parquet scan; (2) row-group index prune —
-    only covering groups' streams are decompressed; (3) an exact Catalyst
-    filter over the decoded rows."""
+    the next: (1) stripe-level lineage range + bloom prune; (2) row-group
+    index prune — only covering groups' streams are decompressed; (3) an
+    exact Catalyst filter over the decoded rows.
+
+    `id_pushdown` (default: auto — on only when `stripes` is a bare file
+    scan): the range/bloom predicates are expressions parquet cannot push,
+    so a single-pass plan still READS the blob column of pruned stripes
+    before filtering them. Instead, a first pass scans lineage columns only
+    (column pruning drops the blobs entirely — 8 KB of bloom vs 256 MB of
+    blob per stripe at prod shape), collects the surviving stripe_ids
+    (bounded: a point read matches a handful), and the second scan filters
+    `stripe_id IN (...)` — a predicate parquet pushes into row-group stats
+    and dictionary filters. Only worth it when re-scanning is cheap, i.e.
+    the stripes ARE a storage scan — for derived/in-flight stripe frames
+    the two passes would recompute the upstream job, so auto stays off.
+    Falls back to the single-pass plan beyond MAX_PUSHDOWN_IDS matches."""
     pruned = prune_stripes(stripes, key_value=key_value)
+    if id_pushdown is None:
+        id_pushdown = _is_bare_scan(stripes)
+    if id_pushdown:
+        ids = [r[0] for r in pruned.select("stripe_id")
+               .limit(MAX_PUSHDOWN_IDS + 1).collect()]
+        if len(ids) <= MAX_PUSHDOWN_IDS:
+            pruned = stripes.filter(F.col("stripe_id").isin(ids))
     pred: dict = {"key_value": key_value}
     if ord_lo is not None:
         pred["ord_lo"] = ord_lo

@@ -127,3 +127,22 @@ def test_decode_coerces_schema_drift(spark):
     # groupBy forces row access through the arrow vector (the old failure)
     assert dec.groupBy("turn_idx").count().count() > 0
     assert dict(dec.dtypes)["turn_idx"] == "int"
+
+
+def test_read_rows_id_pushdown_from_file_scan(spark, tmp_path):
+    """From a parquet stripe table, read_rows must re-scan with a
+    stripe_id IN (...) predicate (parquet-pushable) instead of filtering
+    bloom/range expressions after reading blob bytes."""
+    pdf, stripes = _hash_stripes(spark, n_convs=40)
+    path = str(tmp_path / "stripes")
+    stripes.write.mode("overwrite").parquet(path)
+    st = spark.read.parquet(path)
+    assert engine._is_bare_scan(st)
+    assert not engine._is_bare_scan(stripes)  # derived frame: no pushdown
+    key = sorted(pdf["conv_id"].unique())[7]
+    out = engine.read_rows(st, transcripts.TRANSCRIPTS_SPEC, "conv_id", key)
+    assert out.count() == int((pdf["conv_id"] == key).sum())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the id predicate must reach the parquet scan's DataFilters (Catalyst
+    # simplifies a 1-element isin to EqualTo)
+    assert "DataFilters: [isnotnull(stripe_id" in plan, plan[:800]

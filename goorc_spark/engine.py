@@ -488,16 +488,47 @@ def read_rows(stripes: DataFrame, spec: list[dict], key_col: str,
 
 def read_where(stripes: DataFrame, spec: list[dict], col: str,
                lo=None, hi=None,
-               columns: list[str] | None = None) -> DataFrame:
+               columns: list[str] | None = None,
+               id_pushdown: bool | None = None) -> DataFrame:
     """Value-predicate seek on ANY orderable column (the reference's
     row-index statistics pruning, RowIndexEntry stats in
     pb/orc_proto.proto:92-99): row groups whose recorded [min, max] for
     `col` cannot intersect [lo, hi] are never decompressed, then the exact
     filter runs over the survivors. Unlike read_rows there is no
-    stripe-level prune (lineage carries only the clustering key's range) —
-    at 10^12 rows pair this with range_partition on the hot column."""
+    stripe-level lineage range for arbitrary columns, so with `id_pushdown`
+    (default: auto, bare file scans only) a first pass scans stripe_id+meta
+    ONLY (no blob bytes), evaluates the row-group ranges there, and the
+    second pass decodes `stripe_id IN (survivors)` — the IN predicate is
+    parquet-pushable, so fully non-covering stripes' blobs are never read.
+    At 10^12 rows pair this with range_partition on the hot column."""
     if columns is not None and col not in columns:
         columns = list(columns) + [col]
+    if id_pushdown is None:
+        id_pushdown = _is_bare_scan(stripes)
+    if id_pushdown:
+        rng = (lo, hi)
+
+        def probe(batches):
+            import pyarrow as pa
+
+            from goorc_spark import arrow_stripe
+
+            for rb in batches:
+                sids = rb.column("stripe_id").to_pylist()
+                keep = []
+                for i, meta_json in enumerate(rb.column("meta").to_pylist()):
+                    sel = arrow_stripe.select_row_groups(
+                        json.loads(meta_json), col_ranges={col: rng})
+                    if sel is None or sel:
+                        keep.append(sids[i])
+                yield pa.RecordBatch.from_pydict(
+                    {"stripe_id": pa.array(keep, pa.string())})
+
+        ids_df = stripes.select("stripe_id", "meta").mapInArrow(
+            probe, "stripe_id string")
+        ids = [r[0] for r in ids_df.limit(MAX_PUSHDOWN_IDS + 1).collect()]
+        if len(ids) <= MAX_PUSHDOWN_IDS:
+            stripes = stripes.filter(F.col("stripe_id").isin(ids))
     out = decode_df(stripes, spec, columns=columns,
                     rg_predicate={"col_ranges": {col: (lo, hi)}})
     cond = F.lit(True)

@@ -146,3 +146,27 @@ def test_read_rows_id_pushdown_from_file_scan(spark, tmp_path):
     # the id predicate must reach the parquet scan's DataFilters (Catalyst
     # simplifies a 1-element isin to EqualTo)
     assert "DataFilters: [isnotnull(stripe_id" in plan, plan[:800]
+
+
+def test_read_where_id_pushdown_from_file_scan(spark, tmp_path):
+    """Range scan from parquet: non-covering stripes are dropped via a
+    meta-only first pass and a pushed stripe_id filter (no blob reads)."""
+    import pandas as pd
+
+    pdf = transcripts.synthesize_pandas(n_convs=60, seed=41)
+    df = spark.createDataFrame(pdf)
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=64 * 1024, partitions=6,
+                              rg_rows=200, run_id="rw",
+                              range_partition=True)
+    path = str(tmp_path / "stripes")
+    engine.encode_df(df, cfg).write.parquet(path)
+    st = spark.read.parquet(path)
+    lo, hi = "conv-00000005", "conv-00000008"
+    out = engine.read_where(st, transcripts.TRANSCRIPTS_SPEC, "conv_id",
+                            lo=lo, hi=hi)
+    want = pdf[(pdf.conv_id >= lo) & (pdf.conv_id <= hi)]
+    assert out.count() == len(want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert ("DataFilters: [stripe_id" in plan
+            or "DataFilters: [isnotnull(stripe_id" in plan), plan[:800]

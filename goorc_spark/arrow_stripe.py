@@ -66,7 +66,29 @@ def spec_arrow_type(col: dict, tz: str | None = None):
 
 # kinds whose per-row-group [min, max] is recorded for predicate seek
 _RANGE_KINDS = {"byte", "short", "int", "long", "float", "double", "date",
-                "timestamp", "timestamp_ntz"}
+                "timestamp", "timestamp_ntz", "string"}
+
+_STAT_STR_MAX = 64
+
+
+def _bound_str(s: str, is_max: bool) -> str:
+    """Truncate a string statistic the ORC way: the stored bound must stay
+    a valid bound, so a min truncates to its prefix (prefix <= original)
+    and a max bumps the last kept char (greater than every string sharing
+    the prefix). Falls back to the full string at the codepoint ceiling."""
+    if len(s) <= _STAT_STR_MAX:
+        return s
+    t = s[:_STAT_STR_MAX]
+    if not is_max:
+        return t
+    for i in range(len(t) - 1, -1, -1):
+        c = ord(t[i])
+        if c < 0x10FFFF:
+            nc = c + 1
+            if 0xD800 <= nc <= 0xDFFF:  # skip the surrogate gap
+                nc = 0xE000
+            return t[:i] + chr(nc)
+    return s
 
 
 def _as_array(x) -> pa.Array:
@@ -192,7 +214,9 @@ def encode_stripe_table(
         # per-group value ranges for every orderable scalar column — the
         # reference's RowIndexEntry statistics (pb/orc_proto.proto:92-99):
         # generic predicate seek (read_where) prunes groups on ANY column,
-        # not just the clustering key
+        # not just the clustering key. String bounds are truncated the ORC
+        # way (prefix for min; prefix with last char bumped for max) so a
+        # long text column costs <=130 chars of meta per group.
         rng = {}
         for col in spec:
             if col["kind"] in _RANGE_KINDS and col["name"] not in (key_col,
@@ -200,7 +224,11 @@ def encode_stripe_table(
                 mm = pc.min_max(sub.column(col["name"]))
                 lo = mm["min"].as_py()
                 if lo is not None:
-                    rng[col["name"]] = [lo, mm["max"].as_py()]
+                    hi = mm["max"].as_py()
+                    if col["kind"] == "string":
+                        lo = _bound_str(lo, is_max=False)
+                        hi = _bound_str(hi, is_max=True)
+                    rng[col["name"]] = [lo, hi]
         if rng:
             g["ranges"] = rng
         groups.append(g)

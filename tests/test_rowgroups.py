@@ -223,3 +223,31 @@ def test_read_where_spark(spark):
     got = engine.read_where(stripes, spec, "value", lo=10.0, hi=50.0)
     want = ev.filter((F.col("value") >= 10.0) & (F.col("value") <= 50.0))
     assert got.count() == want.count()
+
+
+def test_string_rowgroup_ranges_prune_and_truncate():
+    """String columns carry per-group [min, max] (ORC RowIndexEntry string
+    stats) with truncated bounds that remain valid bounds."""
+    import pyarrow as pa
+
+    from goorc_spark import arrow_stripe
+
+    long_a = "a" * 200
+    long_z = "z" * 200 + "tail"
+    vals = [long_a, "mmm", long_z, "qqq"] * 50
+    t = pa.table({"k": pa.array(range(200), pa.int64()),
+                  "s": pa.array(vals)})
+    spec = [{"name": "k", "kind": "long"}, {"name": "s", "kind": "string"}]
+    blob, meta = arrow_stripe.encode_stripe_table(t, spec, rg_rows=50)
+    for g in meta["row_groups"]:
+        lo, hi = g["ranges"]["s"]
+        assert len(lo) <= 64 and len(hi) <= 64
+        assert lo <= long_a and hi >= long_z
+    # select_row_groups honors the bounds: a probe below every min prunes all
+    sel = arrow_stripe.select_row_groups(meta, col_ranges={"s": ("A", "B")})
+    assert sel == []
+    sel = arrow_stripe.select_row_groups(meta, col_ranges={"s": ("mmm", "mmm")})
+    assert sel and len(sel) == len(meta["row_groups"])
+
+    assert arrow_stripe._bound_str("x" * 100, is_max=True) > "x" * 100
+    assert arrow_stripe._bound_str("x" * 100, is_max=False) <= "x" * 100

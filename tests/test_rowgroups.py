@@ -225,29 +225,32 @@ def test_read_where_spark(spark):
     assert got.count() == want.count()
 
 
-def test_string_rowgroup_ranges_prune_and_truncate():
-    """String columns carry per-group [min, max] (ORC RowIndexEntry string
-    stats) with truncated bounds that remain valid bounds."""
+def test_string_rowgroup_ranges_prune_and_skip_long_text():
+    """SHORT string columns carry per-group [min, max] (ORC RowIndexEntry
+    string stats); long free-text columns are skipped (stats nobody probes,
+    measured ~15% of stripe encode time to compute)."""
     import pyarrow as pa
 
     from goorc_spark import arrow_stripe
 
-    long_a = "a" * 200
-    long_z = "z" * 200 + "tail"
-    vals = [long_a, "mmm", long_z, "qqq"] * 50
+    groups = (["mmm"] * 50 + ["qqq"] * 50) * 2
     t = pa.table({"k": pa.array(range(200), pa.int64()),
-                  "s": pa.array(vals)})
-    spec = [{"name": "k", "kind": "long"}, {"name": "s", "kind": "string"}]
+                  "s": pa.array(groups),
+                  "txt": pa.array(["lorem ipsum dolor sit amet " * 8] * 200)})
+    spec = [{"name": "k", "kind": "long"}, {"name": "s", "kind": "string"},
+            {"name": "txt", "kind": "string"}]
     blob, meta = arrow_stripe.encode_stripe_table(t, spec, rg_rows=50)
     for g in meta["row_groups"]:
+        assert "txt" not in g.get("ranges", {})  # long text: no stats
         lo, hi = g["ranges"]["s"]
-        assert len(lo) <= 64 and len(hi) <= 64
-        assert lo <= long_a and hi >= long_z
-    # select_row_groups honors the bounds: a probe below every min prunes all
-    sel = arrow_stripe.select_row_groups(meta, col_ranges={"s": ("A", "B")})
-    assert sel == []
+        assert lo <= hi
+    # select_row_groups honors the bounds: a probe below every min prunes
+    # all; an in-range probe keeps only the matching half
+    assert arrow_stripe.select_row_groups(meta, col_ranges={"s": ("A", "B")}) == []
     sel = arrow_stripe.select_row_groups(meta, col_ranges={"s": ("mmm", "mmm")})
-    assert sel and len(sel) == len(meta["row_groups"])
+    assert sel is not None and len(sel) == 2  # groups 0 and 2
 
+    # truncated bounds stay valid bounds
     assert arrow_stripe._bound_str("x" * 100, is_max=True) > "x" * 100
     assert arrow_stripe._bound_str("x" * 100, is_max=False) <= "x" * 100
+    assert len(arrow_stripe._bound_str("x" * 100, is_max=True)) <= 64

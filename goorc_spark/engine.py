@@ -612,22 +612,68 @@ def compact_stripes(stripes: DataFrame, spec: list[dict],
     return big.select(*recoded.columns).union(recoded)
 
 
-def write_encoded(stripes: DataFrame, path: str, mode: str = "append") -> None:
-    stripes.write.mode(mode).parquet(path)
+def _is_table_target(target: str) -> bool:
+    """Catalog table identifier (`db.tbl`, `catalog.db.tbl`) vs filesystem
+    path: paths carry a separator or a URI scheme (s3://, file:, hdfs:)."""
+    return ("/" not in target and "\\" not in target and ":" not in target
+            and not target.startswith((".", "~")))
 
 
-def resume_encode(spark: SparkSession, df: DataFrame, path: str,
+def write_encoded(stripes: DataFrame, target: str,
+                  mode: str = "append") -> None:
+    """Write the stripe table to a parquet directory or a catalog TABLE.
+
+    Catalog targets use the DataSourceV2 `writeTo` API — the exact call an
+    Iceberg sink takes (`spark.sql.catalog.<name>` configured and
+    iceberg-spark-runtime on the classpath make the identifier an Iceberg
+    table with snapshot-isolated commits, which is what the resume path
+    wants at 10^12-turn scale: a killed run's partial append never becomes
+    visible). This container has no Iceberg jar, so tests exercise the same
+    code path through the V2 session catalog backed by parquet."""
+    from pyspark.errors import AnalysisException
+
+    if not _is_table_target(target):
+        stripes.write.mode(mode).parquet(target)
+        return
+    spark = stripes.sparkSession
+    exists = spark.catalog.tableExists(target)
+    if mode == "error" and exists:
+        raise ValueError(f"table {target} already exists (mode='error')")
+    try:
+        if mode == "overwrite" and exists:
+            stripes.writeTo(target).using("parquet").createOrReplace()
+        elif exists:
+            stripes.writeTo(target).append()
+        else:
+            stripes.writeTo(target).using("parquet").create()
+    except AnalysisException:
+        # the V2 session catalog registers parquet tables as v1, which
+        # rejects writeTo append/replace; Iceberg (a true v2 catalog)
+        # takes the branch above
+        stripes.write.mode("append" if mode == "append" else "overwrite") \
+            .saveAsTable(target)
+
+
+def read_encoded(spark: SparkSession, target: str) -> DataFrame:
+    """Load a stripe table written by `write_encoded` (path or catalog
+    table)."""
+    return (spark.read.table(target) if _is_table_target(target)
+            else spark.read.parquet(target))
+
+
+def resume_encode(spark: SparkSession, df: DataFrame, target: str,
                   cfg: EncodeConfig) -> DataFrame:
-    """Encode only partitions not yet present at `path` (exact resume after
-    a failed/killed run), append them, and return the full stripe table."""
+    """Encode only partitions not yet present at `target` (exact resume
+    after a failed/killed run), append them, and return the full stripe
+    table. `target` may be a parquet directory or a catalog table."""
     n = partition_count(df, cfg)
     try:
-        existing = spark.read.parquet(path)
+        existing = read_encoded(spark, target)
         done = [r[0] for r in existing.select("part_id").distinct().collect()]
     except Exception:
         existing, done = None, []
     pending = [p for p in range(n) if p not in done]
     if pending:
         stripes = encode_df(df, cfg, pending_parts=pending)
-        write_encoded(stripes, path, mode="append")
-    return spark.read.parquet(path)
+        write_encoded(stripes, target, mode="append")
+    return read_encoded(spark, target)

@@ -31,7 +31,9 @@ def parse_args(argv):
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet directory of the transcripts table")
     src.add_argument("--table", help="catalog table name (e.g. Iceberg)")
-    p.add_argument("--output", required=True, help="stripe sink (parquet dir)")
+    p.add_argument("--output", required=True,
+                   help="stripe sink: parquet dir or catalog table "
+                        "(e.g. an Iceberg identifier)")
     p.add_argument("--lineage", help="optional lineage sink (parquet dir)")
     p.add_argument("--key", default="conv_id")
     p.add_argument("--order", default="turn_idx",
@@ -84,7 +86,7 @@ def main(argv=None) -> int:
     else:
         stripes = engine.encode_df(df, cfg)
         engine.write_encoded(stripes, args.output, mode="error")
-        stripes = spark.read.parquet(args.output)
+        stripes = engine.read_encoded(spark, args.output)
     wall = time.monotonic() - t0
 
     lineage = engine.lineage_view(stripes)

@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 
@@ -7,6 +9,8 @@ def spark():
 
     s = (
         SparkSession.builder.master("local[4]")
+        .config("spark.sql.warehouse.dir",
+                tempfile.mkdtemp(prefix="goorc_warehouse_"))
         .appName("goorc_spark_tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")

@@ -60,7 +60,7 @@ def timed(fn):
     return time.monotonic() - t0, out
 
 
-def encode_job(spark, df, partitions: int):
+def encode_job(spark, df, partitions: int, policy: str = "balanced"):
     """The headline job: shuffle on (conv_id, salt), sort within partitions,
     stripe-encode in parallel, aggregate the lineage."""
     from pyspark.sql import functions as F
@@ -73,6 +73,7 @@ def encode_job(spark, df, partitions: int):
         # working set per worker blows the shared LLC (measured 2-3x
         # per-core slowdown); 2 MB costs <1% compressed size
         stripe_bytes=2 * 1024 * 1024, partitions=partitions, run_id="bench",
+        policy=policy,
         # salt mega-conversations aggressively so no single task serializes
         # the job (a 400k-turn conv would otherwise pin one core)
         salt_threshold=50_000, bucket_rows=25_000,
@@ -402,6 +403,20 @@ def main() -> None:
             "compression_ratio": round(agg["raw"] / agg["enc"], 3),
         }
 
+        # the policy="fast" frontier point (no FSST probe/compress): the
+        # selector's speed-vs-size knob, measured so the tradeoff is a
+        # recorded fact (kernel A/B on this data: ~1.6x throughput for
+        # ~+5pp of the ORC-oracle size ratio — both sides of the knob beat
+        # the <=1.0x gate)
+        fsec, fagg = timed(lambda: encode_job(spark, df, 2 * CPUS, "fast"))
+        fsec2, fagg = timed(lambda: encode_job(spark, df, 2 * CPUS, "fast"))
+        fsec = min(fsec, fsec2)
+        queries["encode_transcripts_fast"] = round(fsec, 3)
+        extras["encode_fast"] = {
+            "turns_per_sec": round(n_turns / fsec), "enc_bytes": fagg["enc"],
+            "compression_ratio": round(fagg["raw"] / fagg["enc"], 3),
+        }
+
         # decode throughput (stripes materialized first, untimed)
         cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
                                   stripe_bytes=8 * 1024 * 1024,
@@ -458,6 +473,7 @@ def main() -> None:
         extras["size_gate"] = {
             "ours_bytes": agg["enc"], "orc_zlib_bytes": oracle,
             "ours_over_orc": round(agg["enc"] / oracle, 4),
+            "fast_policy_over_orc": round(fagg["enc"] / oracle, 4),
         }
 
         # training-data pipeline operators

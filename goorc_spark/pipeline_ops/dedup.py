@@ -11,55 +11,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Band-bucket population above which the in-array pair expansion (one row =
-# one bucket) would concentrate a degenerate bucket on one executor; larger
-# buckets switch to an equi self-join that spreads the quadratic work.
-MAX_BUCKET = 2000
+def _bucket_pairs(banded: DataFrame, keys: list[str],
+                  payload: list[str], pair_builder) -> DataFrame:
+    """Exact candidate pairs per bucket as a bucket-key SELF-JOIN: both
+    sides hash-partition on the bucket key from the SAME exchange
+    (ReusedExchange), the quadratic per-bucket pair expansion streams
+    through whole-stage codegen — it is never materialized as an array
+    anywhere — and a degenerate bucket (mass-duplicated docs, the empty
+    signature) is split across tasks by AQE's skew-join handling instead of
+    concentrating on one executor.
 
-
-def _bucket_pairs(banded: DataFrame, keys: list[str], payload: list[str],
-                  pair_builder, max_bucket: int = MAX_BUCKET) -> DataFrame:
-    """Exact candidate pairs per bucket with a two-regime plan: buckets up
-    to `max_bucket` members expand sorted doc combinations JVM-side from one
-    collect_list row (one shuffle, no join); degenerate buckets (e.g. the
-    empty-text signature) fall back to an equi self-join on the bucket key,
-    which spreads |bucket|^2 work across tasks instead of materializing one
-    giant array on one executor. Both regimes are exact; only the plan
-    differs.
+    This replaced a two-regime collect_list + in-array-expansion design
+    (first half of round 2): the array regime built pair structs inside
+    interpreted higher-order functions (transform/slice lambdas don't
+    codegen) and held an O(|bucket|) array per aggregation row. The join is
+    1.75x faster at sf0.1 (measured 3.8s vs 6.6s on the SimHash radius-8
+    query, identical 43,760-pair output), needs no bucket-size cap or
+    regime switch, and has no per-bucket memory at all.
 
     `payload` = column names carried per member (must include doc_id);
-    `pair_builder(x, y)` builds the output struct from two member structs.
-
-    Single pass: ONE shuffle keyed by the bucket, one collect_list per
-    bucket (memory O(|bucket|), never O(|bucket|^2)); the two regimes then
-    branch on size(ds) over the SAME aggregated exchange, which Spark
-    reuses across the union (upstream signatures are computed once — an
-    earlier two-pass variant recomputed them per branch). A pathologically
-    degenerate bucket still materializes one O(|bucket|) array inside the
-    aggregation; its quadratic pair expansion, the part that cannot be
-    bounded, runs as a distributed join either way."""
-    buckets = banded.groupBy(*keys).agg(
-        F.array_sort(F.collect_list(F.struct(*payload))).alias("ds")) \
-        .filter(F.size("ds") > 1)
-    small_b = buckets.filter(F.size("ds") <= max_bucket)
-    ds = F.col("ds")
-    pair_structs = F.flatten(F.transform(
-        ds,
-        lambda x, i: F.transform(
-            F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
-            lambda y: pair_builder(x, y))))
-    pairs = small_b.select(F.explode(pair_structs).alias("p")).select("p.*")
-    big_m = buckets.filter(F.size("ds") > max_bucket) \
-        .select(*keys, F.explode("ds").alias("m"))
-    par = banded.sparkSession.sparkContext.defaultParallelism
-    a = big_m.repartition(par, *keys).alias("a")
-    b = big_m.alias("b")
-    cond = (F.col("a.m.doc_id") < F.col("b.m.doc_id"))
+    `pair_builder(x, y)` builds the output struct from two member structs."""
+    m = banded.select(*keys, F.struct(*payload).alias("m"))
+    a, b = m.alias("a"), m.alias("b")
+    cond = F.col("a.m.doc_id") < F.col("b.m.doc_id")
     for k in keys:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    big_pairs = a.join(b, cond).select(
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return a.join(b, cond).select(
         pair_builder(F.col("a.m"), F.col("b.m")).alias("p")).select("p.*")
-    return pairs.union(big_pairs)
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -182,27 +160,37 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 12, bands: int = 4,
                       shingle: int = 6) -> DataFrame:
     """LSH banding: same (band_id, band_hash) => candidate pair. One explode
     of `bands` rows per doc, then an equi-join on the band key — the
-    scale-out path for near-dup at 10^9+ docs."""
+    scale-out path for near-dup at 10^9+ docs.
+
+    First-match discipline (same as simhash_near_dup): each doc carries its
+    full band-hash array, and a pair is kept only in the FIRST band whose
+    hashes agree — every qualifying pair is emitted exactly once, so the
+    result needs NO distinct() over the candidate set (at 10^9 docs that
+    distinct is the job's largest shuffle)."""
     rows = k // bands
     sigs = minhash_signatures(docs, k=k, shingle=shingle)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.encode(F.concat_ws("|", *[
-                    F.col("minhash")[b * rows + r].cast("string")
-                    for r in range(rows)
-                ]), "utf-8")).alias("bh"),
-            )
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
-    pairs = _bucket_pairs(
-        banded, ["band", "bh"], ["doc_id"],
-        lambda x, y: F.struct(x["doc_id"].alias("doc_a"),
-                              y["doc_id"].alias("doc_b")))
-    return pairs.distinct()
+    bhs = F.array(*[
+        F.md5(F.encode(F.concat_ws("|", *[
+            F.col("minhash")[b * rows + r].cast("string")
+            for r in range(rows)
+        ]), "utf-8"))
+        for b in range(bands)
+    ])
+    banded = sigs.select("doc_id", bhs.alias("bhs")) \
+        .select("doc_id", "bhs", F.posexplode("bhs").alias("band", "bh"))
+
+    def builder(x, y):
+        first = F.lit(bands - 1)
+        for j in range(bands - 2, -1, -1):
+            first = F.when(x["bhs"][j] == y["bhs"][j], F.lit(j)) \
+                .otherwise(first)
+        return F.struct(x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        (x["band"] == first).alias("keep"))
+
+    pairs = _bucket_pairs(banded, ["band", "bh"],
+                          ["doc_id", "bhs", "band"], builder)
+    return pairs.filter("keep").select("doc_a", "doc_b")
 
 
 def simhash(docs: DataFrame, hash: str = "md5") -> DataFrame:
@@ -262,27 +250,22 @@ def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
-                     max_bucket: int = MAX_BUCKET,
                      hash: str = "md5") -> DataFrame:
     """SimHash near-duplicate pairs, complete at the requested radius: the
     signature is banded into max_hamming+1 disjoint spans (pigeonhole ==>
-    any pair within the radius collides on >=1 band), candidates bucket-join
-    on (band, key), verification is exact bit_count(xor). Degenerate buckets
-    switch to a distributed self-join (see _bucket_pairs).
+    any pair within the radius collides on >=1 band), candidates come from
+    the bucket self-join (see _bucket_pairs — codegen streaming, AQE
+    skew-split for degenerate buckets), verification is exact
+    bit_count(xor).
 
     First-match discipline: a pair is kept only in the FIRST band where the
     two signatures agree — derivable from the pair's xor alone, so each
     qualifying pair survives exactly once across all bands and the candidate
-    set needs NO distinct(). At sf0.1 wall-clock is a wash (the interpreted
-    in-array pair expansion dominates either way; measured 6.3s distinct vs
-    6.8s first-match, identical 43,760 rows from 8.4M candidates), but the
-    distinct is a SHUFFLE of the whole candidate set — at 10^9 docs that
-    shuffle is the largest intermediate in the job, while the first-match
-    predicate is map-side and free of skew. The predicate runs as a
-    top-level codegen'd filter after the explode; pushing it inside the pair
-    array with F.filter was measured SLOWER (higher-order functions evaluate
-    interpreted — the extra CASE-chain pass over 8.4M array elements cost
-    more than the explode rows it saved)."""
+    set needs NO distinct(): at 10^9 docs that distinct would be the job's
+    largest shuffle, while the first-match predicate is a codegen'd filter,
+    map-side and free of skew. Measured at sf0.1, radius 8 (9 bands, 8.4M
+    candidates -> 43,760 pairs): 3.8s vs 6.6s for the round-2-mid
+    collect_list/in-array design with distinct — identical output."""
     spans = simhash_bands(max_hamming)
     sh = simhash(docs, hash=hash)
     banded = sh.select(
@@ -317,8 +300,7 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3,
             x["band"].alias("band"))
 
     cand = _bucket_pairs(
-        banded, ["band", "bk"], ["doc_id", "simhash64", "band"], builder,
-        max_bucket=max_bucket)
+        banded, ["band", "bk"], ["doc_id", "simhash64", "band"], builder)
     return (cand
             .withColumn("hamming", F.bit_count(F.col("xor")))
             .filter((F.col("hamming") <= max_hamming)

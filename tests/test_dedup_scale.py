@@ -1,5 +1,6 @@
 """Round-2 dedup guarantees: pigeonhole-complete SimHash banding at the
-configured radius, giant-bucket fallback (no single-executor array blowup),
+configured radius, exact streaming of degenerate buckets through the
+self-join plan (no single-executor array blowup, no duplicate emissions),
 and the bucketed embedding near-dup path."""
 
 from __future__ import annotations
@@ -45,26 +46,27 @@ def test_simhash_near_dup_complete_at_radius(spark):
     docs.unpersist()
 
 
-def test_giant_bucket_falls_back_to_join(spark):
-    """300 identical docs = one degenerate bucket per band; with
-    max_bucket=50 the pairs must come from the self-join regime and still
-    be exact (C(300,2) pairs at hamming 0)."""
+def test_degenerate_bucket_exact(spark):
+    """300 identical docs = one degenerate bucket per band: the self-join
+    plan must stream C(300,2) exact pairs (hamming 0), each exactly once
+    (first-match discipline — no duplicate pairs without any distinct)."""
     docs = _docs(spark, ["same text every time"] * 300)
-    got = dedup.simhash_near_dup(docs, max_hamming=3, max_bucket=50)
+    got = dedup.simhash_near_dup(docs, max_hamming=3)
     assert got.count() == 300 * 299 // 2
     assert got.filter("hamming != 0").count() == 0
+    assert got.select("doc_a", "doc_b").distinct().count() == 300 * 299 // 2
 
 
 def test_minhash_giant_bucket_exact(spark):
     rows = ["the quick brown fox jumps over the lazy dog"] * 120 + \
            ["a completely different document body"] * 2
     docs = _docs(spark, rows)
-    pairs = dedup.minhash_lsh_pairs(docs, k=12, bands=4, shingle=6,)
-    # all identical docs pair with each other; with the default MAX_BUCKET
-    # this exercises the array regime — re-run under a tiny cap for the join
-    # regime and demand identical results
-    base = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    pairs = dedup.minhash_lsh_pairs(docs, k=12, bands=4, shingle=6)
+    rows = pairs.collect()
+    base = {(r.doc_a, r.doc_b) for r in rows}
     assert len(base) >= 120 * 119 // 2
+    # first-match emits each pair exactly once — no duplicates, no distinct
+    assert len(rows) == len(base)
 
 
 def test_embedding_lsh_subset_of_bruteforce(spark):

@@ -205,6 +205,50 @@ def _stream_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation under the gate: the transcripts
+    table replayed as ONE availableNow micro-batch (watermark 0 during the
+    batch, so nothing is late-dropped), then the engine's end-of-stream
+    no-data flush emits every window whose end <= max(ts) - delay — a
+    condition the DuckDB oracle states directly with time_bucket + HAVING.
+    Late-DROP semantics (checkpoint-recovered watermark) are pinned by
+    tests/test_streaming_window.py instead, where batch boundaries are
+    choreographed."""
+    import shutil
+    import tempfile
+
+    from goorc_spark import streaming
+
+    df = transcripts.transcripts_from_events(spark, sf_dir) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    # ^ events ts reads as TIMESTAMP_NTZ; watermarks require TIMESTAMP —
+    #   with the UTC session zone the cast is value-preserving both ways
+    base = tempfile.mkdtemp(prefix="goorc_stream_win_")
+    src, sink, ck = f"{base}/src", f"{base}/sink", f"{base}/ck"
+    df.write.parquet(src)
+
+    def write_closed(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (streaming.window_stats_stream(
+            spark.readStream.schema(df.schema).parquet(src),
+            window="1 hour", watermark="2 hours")
+         .writeStream.foreachBatch(write_closed)
+         .outputMode("append").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = (spark.read.parquet(sink)
+           .select(F.col("window_start").cast("timestamp_ntz")
+                    .alias("window_start"),
+                   F.col("window_end").cast("timestamp_ntz")
+                    .alias("window_end"),
+                   "turns", "text_bytes")
+           .cache())
+    out.count()  # materialize before the temp dirs go away
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _encode_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage invariants as a one-row boolean gate (rows conservation,
     stripe-id uniqueness, positive sizes, per-partition seq contiguity) —
@@ -240,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_scan": _range_scan,
         "encode_lineage": _encode_lineage,
         "stream_conv_stats": _stream_conv_stats,
+        "stream_window_stats": _stream_window_stats,
         # -- dedup --------------------------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -433,6 +478,15 @@ SELECT conv_id, count(*) AS turns,
        CAST(max(turn_idx) AS INTEGER) AS max_turn,
        CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
 FROM ({transcripts.ORACLE_SQL}) GROUP BY conv_id
+""",
+        "stream_window_stats": f"""
+WITH t AS ({transcripts.ORACLE_SQL})
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+       count(*) AS turns,
+       CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+FROM t GROUP BY 1, 2
+HAVING window_end <= (SELECT max(ts) FROM t) - INTERVAL 2 HOUR
 """,
         "decode_projection": (
             f"SELECT conv_id, turn_idx, text FROM ({transcripts.ORACLE_SQL})"

@@ -67,6 +67,29 @@ def conv_stats_stream(stream_df: DataFrame) -> DataFrame:
     )
 
 
+def window_stats_stream(stream_df: DataFrame, window: str = "1 minute",
+                        watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked event-time windowed aggregation — the Structured
+    Streaming late-data pattern (`withWatermark` + `window`) over the
+    transcripts stream: per-window turn count / approximate conversation
+    count / text bytes. In append mode a window emits exactly once, when
+    the watermark (max observed event time minus the delay) passes its
+    end; rows arriving later than the delay are dropped by the engine.
+    At 10^12-turn scale this is the bounded-state ingest-rate rollup:
+    state holds only the open windows, never history — unlike
+    `conv_stats_stream`, whose per-conversation state grows with the key
+    space. (`approx_count_distinct` because exact distinct is not
+    available inside a streaming aggregation.)"""
+    return (stream_df.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"))
+            .agg(F.count("*").alias("turns"),
+                 F.approx_count_distinct("conv_id").alias("convs"),
+                 F.sum(F.octet_length("text")).alias("text_bytes"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "turns", "convs", "text_bytes"))
+
+
 def stream_encode(stream_df: DataFrame, out_path: str, checkpoint: str,
                   cfg: engine.EncodeConfig | None = None,
                   trigger_available_now: bool = True):

@@ -553,10 +553,14 @@ def prune_stripes(stripes: DataFrame, key_value=None,
     if key_value is not None:
         lo = hi = key_value
     cond = F.lit(True)
+    # NULL bounds (keyless encode, all-null key stripe) mean UNKNOWN, not
+    # out-of-range: keep the stripe — a wasted read, never a wrong skip
     if hi is not None:
-        cond = cond & (F.col("key_min") <= F.lit(hi))
+        cond = cond & (F.col("key_min").isNull()
+                       | (F.col("key_min") <= F.lit(hi)))
     if lo is not None:
-        cond = cond & (F.col("key_max") >= F.lit(lo))
+        cond = cond & (F.col("key_max").isNull()
+                       | (F.col("key_max") >= F.lit(lo)))
     if key_value is not None and "key_bloom" in stripes.columns:
         # bloom probe with built-ins only: the k probe positions are a
         # driver-side constant for the literal key, so each test is one

@@ -486,27 +486,37 @@ def read_rows(stripes: DataFrame, spec: list[dict], key_col: str,
     return out.filter(cond)
 
 
-def read_where(stripes: DataFrame, spec: list[dict], col: str,
+def read_where(stripes: DataFrame, spec: list[dict], col: str | None = None,
                lo=None, hi=None,
                columns: list[str] | None = None,
-               id_pushdown: bool | None = None) -> DataFrame:
-    """Value-predicate seek on ANY orderable column (the reference's
+               id_pushdown: bool | None = None,
+               col_ranges: dict | None = None) -> DataFrame:
+    """Value-predicate seek on ANY orderable column(s) (the reference's
     row-index statistics pruning, RowIndexEntry stats in
-    pb/orc_proto.proto:92-99): row groups whose recorded [min, max] for
-    `col` cannot intersect [lo, hi] are never decompressed, then the exact
-    filter runs over the survivors. Unlike read_rows there is no
-    stripe-level lineage range for arbitrary columns, so with `id_pushdown`
-    (default: auto, bare file scans only) a first pass scans stripe_id+meta
-    ONLY (no blob bytes), evaluates the row-group ranges there, and the
-    second pass decodes `stripe_id IN (survivors)` — the IN predicate is
-    parquet-pushable, so fully non-covering stripes' blobs are never read.
-    At 10^12 rows pair this with range_partition on the hot column."""
-    if columns is not None and col not in columns:
-        columns = list(columns) + [col]
+    pb/orc_proto.proto:92-99): row groups whose recorded [min, max] cannot
+    intersect the predicate are never decompressed, then the exact filter
+    runs over the survivors. `col`/`lo`/`hi` is the single-column form;
+    `col_ranges` {column: (lo, hi)} adds further conjuncts — each prunes
+    row groups independently (a group survives only if EVERY probed range
+    can intersect), and each becomes an exact Catalyst filter.
+
+    Unlike read_rows there is no stripe-level lineage range for arbitrary
+    columns, so with `id_pushdown` (default: auto, bare file scans only) a
+    first pass scans stripe_id+meta ONLY (no blob bytes), evaluates the
+    row-group ranges there, and the second pass decodes `stripe_id IN
+    (survivors)` — the IN predicate is parquet-pushable, so fully
+    non-covering stripes' blobs are never read. At 10^12 rows pair this
+    with range_partition on the hottest column."""
+    ranges: dict = dict(col_ranges or {})
+    if col is not None:
+        ranges[col] = (lo, hi)
+    if not ranges:
+        raise ValueError("read_where needs `col` or `col_ranges`")
+    if columns is not None:
+        columns = list(columns) + [c for c in ranges if c not in columns]
     if id_pushdown is None:
         id_pushdown = _is_bare_scan(stripes)
     if id_pushdown:
-        rng = (lo, hi)
 
         def probe(batches):
             import pyarrow as pa
@@ -518,7 +528,7 @@ def read_where(stripes: DataFrame, spec: list[dict], col: str,
                 keep = []
                 for i, meta_json in enumerate(rb.column("meta").to_pylist()):
                     sel = arrow_stripe.select_row_groups(
-                        json.loads(meta_json), col_ranges={col: rng})
+                        json.loads(meta_json), col_ranges=ranges)
                     if sel is None or sel:
                         keep.append(sids[i])
                 yield pa.RecordBatch.from_pydict(
@@ -530,12 +540,13 @@ def read_where(stripes: DataFrame, spec: list[dict], col: str,
         if len(ids) <= MAX_PUSHDOWN_IDS:
             stripes = stripes.filter(F.col("stripe_id").isin(ids))
     out = decode_df(stripes, spec, columns=columns,
-                    rg_predicate={"col_ranges": {col: (lo, hi)}})
+                    rg_predicate={"col_ranges": ranges})
     cond = F.lit(True)
-    if lo is not None:
-        cond = cond & (F.col(col) >= F.lit(lo))
-    if hi is not None:
-        cond = cond & (F.col(col) <= F.lit(hi))
+    for c, (clo, chi) in ranges.items():
+        if clo is not None:
+            cond = cond & (F.col(c) >= F.lit(clo))
+        if chi is not None:
+            cond = cond & (F.col(c) <= F.lit(chi))
     return out.filter(cond)
 
 

@@ -225,6 +225,28 @@ def test_read_where_spark(spark):
     assert got.count() == want.count()
 
 
+def test_read_where_multi_column(spark):
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cfg = engine.EncodeConfig(key_col="value", order_cols=(),
+                              range_partition=True, partitions=4,
+                              rg_rows=500, run_id="rwm")
+    stripes = engine.encode_df(ev, cfg)
+    spec = engine.spec_from_schema(ev.schema)
+    got = engine.read_where(stripes, spec, "value", lo=10.0, hi=80.0,
+                            col_ranges={"event_id": (100, 5000)})
+    want = ev.filter((F.col("value") >= 10.0) & (F.col("value") <= 80.0)
+                     & (F.col("event_id") >= 100)
+                     & (F.col("event_id") <= 5000))
+    w = want.count()
+    assert got.count() == w and w > 0
+    # projection keeps every probed column available for the exact filter
+    got2 = engine.read_where(stripes, spec, "value", lo=10.0, hi=80.0,
+                             col_ranges={"event_id": (100, 5000)},
+                             columns=["ts"])
+    assert got2.count() == w
+
+
 def test_string_rowgroup_ranges_prune_and_skip_long_text():
     """SHORT string columns carry per-group [min, max] (ORC RowIndexEntry
     string stats); long free-text columns are skipped (stats nobody probes,

@@ -193,6 +193,36 @@ def schema_from_spec(spec: list[dict]) -> T.StructType:
         for col in spec])
 
 
+def _spec_of_colmeta(c: dict) -> dict:
+    out = {"name": c["name"], "kind": c["kind"]}
+    if c["kind"] == "decimal":
+        out["precision"] = int(c.get("precision", 18))
+        out["scale"] = int(c.get("scale", 0))
+    elif c["kind"] == "struct":
+        out["children"] = [_spec_of_colmeta(k) for k in c["children"]]
+    elif c["kind"] == "list":
+        out["child"] = _spec_of_colmeta(c["children"][0])
+    elif c["kind"] == "map":
+        out["key"] = _spec_of_colmeta(c["children"][0])
+        out["value"] = _spec_of_colmeta(c["children"][1])
+    return out
+
+
+def spec_from_stripes(stripes: DataFrame) -> list[dict]:
+    """Recover the column spec from a stripe's embedded meta — the analog of
+    the reference reading schemas out of the file footer
+    (/root/reference/orc/reader.go:254-343). One driver-side read of a
+    single meta JSON; blob bytes untouched. Makes maintenance jobs
+    (compaction, decode CLIs) schema-agnostic: the stripe table is
+    self-describing."""
+    row = stripes.select("meta").limit(1).collect()
+    if not row:
+        raise ValueError("empty stripe table: no meta to derive a spec from")
+    meta = json.loads(row[0][0])
+    cols = meta.get("columns") or meta["row_groups"][0]["columns"]
+    return [_spec_of_colmeta(c) for c in cols]
+
+
 # ----------------------------------------------------------------- encode --
 
 

@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--stripes", required=True, help="stripe table (parquet dir)")
+    p.add_argument("--stripes", required=True, help="stripe table: parquet dir or catalog table")
     p.add_argument("--output", required=True, help="compacted sink (parquet dir)")
     p.add_argument("--key", default="conv_id")
     p.add_argument("--order", default="turn_idx",
@@ -49,10 +49,10 @@ def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     from pyspark.sql import SparkSession
 
-    from goorc_spark import engine, transcripts
+    from goorc_spark import engine
 
     spark = SparkSession.builder.appName("goorc_compact").getOrCreate()
-    stripes = spark.read.parquet(args.stripes)
+    stripes = engine.read_encoded(spark, args.stripes)
     cfg_kw = dict(
         key_col=args.key,
         order_cols=tuple(c for c in args.order.split(",") if c),
@@ -64,8 +64,11 @@ def main(argv=None) -> int:
         cfg_kw["run_id"] = args.run_id
     cfg = engine.EncodeConfig(**cfg_kw)
     t0 = time.time()
+    # schema-agnostic: the spec comes out of the stripes' own meta (the
+    # stripe table is self-describing, like an ORC file footer)
+    spec = engine.spec_from_stripes(stripes)
     compacted = engine.compact_stripes(
-        stripes, transcripts.TRANSCRIPTS_SPEC, cfg,
+        stripes, spec, cfg,
         min_bytes=args.min_mb * 1024 * 1024 if args.min_mb else None)
     engine.write_encoded(compacted, args.output, mode="overwrite")
     out = spark.read.parquet(args.output)

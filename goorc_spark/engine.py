@@ -375,12 +375,17 @@ def encode_df(df: DataFrame, cfg: EncodeConfig | None = None,
 # ----------------------------------------------------------------- decode --
 
 
-def decode_df(stripes: DataFrame, spec: list[dict],
+def decode_df(stripes: DataFrame, spec: list[dict] | None = None,
               columns: list[str] | None = None,
               rg_predicate: dict | None = None) -> DataFrame:
     """Decode a stripe table back into rows (order: stripe order; sort by
     your key columns afterwards for the canonical view). Arrow-native: each
     stripe blob becomes one RecordBatch with no per-row Python.
+
+    `spec=None` self-describes: the spec is recovered from the stripes'
+    embedded meta (`spec_from_stripes`) — one extra driver-side read of a
+    single meta JSON, the way an ORC reader parses the file footer first.
+    Pass the spec explicitly in hot loops or when coercing schema drift.
 
     `columns` projects the decode: only those columns' streams are
     decompressed (the reference's BatchOption.Includes, column pruning at
@@ -391,6 +396,8 @@ def decode_df(stripes: DataFrame, spec: list[dict],
     reference's row-index seek/skip (/root/reference/orc/stripe.go:369-388)
     at row-group granularity: non-covering groups' streams are never
     decompressed."""
+    if spec is None:
+        spec = spec_from_stripes(stripes)
     if columns is not None:
         spec = [c for c in spec if c["name"] in columns]
     out_schema = schema_from_spec(spec)

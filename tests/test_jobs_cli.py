@@ -24,8 +24,8 @@ def test_spec_from_stripes_every_kind(spark):
         wide, engine.EncodeConfig(partitions=2, run_id="specmeta"))
     got = engine.spec_from_stripes(stripes)
     assert got == spec
-    # and the recovered spec actually decodes
-    assert engine.decode_df(stripes, got).count() == wide.count()
+    # and the recovered spec actually decodes — spec=None self-describes
+    assert engine.decode_df(stripes).count() == wide.count()
 
 
 def test_encode_then_compact_cli(spark, capsys):

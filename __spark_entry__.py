@@ -18,7 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from goorc_spark import allkinds, engine, orc_bridge, transcripts
-from goorc_spark.pipeline_ops import dedup, multimodal, similarity, text
+from goorc_spark.pipeline_ops import (dedup, multimodal, sampling,
+                                      similarity, text)
 
 
 # --------------------------------------------------------------- flagship --
@@ -315,6 +316,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(s, d), k=3),
         "ann_pairwise_topk_lsh": lambda s, d: similarity.pairwise_topk_per_label_lsh(
             _embs(s, d), k=3),
+        # -- deterministic sampling / splits -----------------------------
+        "sample_split": lambda s, d: sampling.hash_split(_docs(s, d)),
+        "sample_fraction": lambda s, d: sampling.deterministic_sample(
+            _docs(s, d), fraction=0.25).select("doc_id"),
+        "sample_stratified": lambda s, d: sampling.stratified_sample(
+            _docs(s, d), "lang",
+            {"en": 0.5, "de": 0.1}, default_fraction=0.02).select("doc_id"),
         # -- text analysis -----------------------------------------------
         "text_token_stats": lambda s, d: text.token_stats(_docs(s, d)),
         "text_bpe_tokens": lambda s, d: text.bpe_token_stats(_docs(s, d)),
@@ -419,6 +427,33 @@ def _hex32_sql(col: str, start: int) -> str:
         f" AS BIGINT) * {16 ** (7 - j)}"
         for j in range(8))
     return f"({terms})"
+
+
+def _unit_hash_sql(salt: str, col: str) -> str:
+    """DuckDB twin of sampling._unit_hash: md5('salt|' || value) top 32 bits
+    as a uniform in [0,1) — same nibble math as the simhash twin."""
+    h = f"md5('{salt}|' || CAST({col} AS VARCHAR))"
+    return f"({_hex32_sql(h, 1)} / 4294967296.0)"
+
+
+def _sample_split_sql() -> str:
+    """Twin of sampling.hash_split with the DEFAULT 90/5/5 weights; the
+    cumulative thresholds are computed with the same float accumulation as
+    the Spark side and inlined at full precision (repr), so the CASE
+    boundaries are bit-identical across engines."""
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    u = _unit_hash_sql("split", "doc_id")
+    acc, whens = 0.0, []
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        whens.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    cases = " ".join(whens)
+    return f"""
+SELECT doc_id, CASE {cases} ELSE '{names[-1]}' END AS split
+FROM documents
+"""
 
 
 def _minhash_sig_sql(k: int, shingle: int) -> str:
@@ -703,6 +738,17 @@ rk AS (
   FROM pairs
 )
 SELECT label, vec_a, vec_b, cosine FROM rk WHERE rk <= 3
+""",
+        "sample_split": _sample_split_sql(),
+        "sample_fraction": f"""
+SELECT doc_id FROM documents
+WHERE {_unit_hash_sql('sample', 'doc_id')} < 0.25
+""",
+        "sample_stratified": f"""
+SELECT doc_id FROM documents
+WHERE {_unit_hash_sql('strata', 'doc_id')} <
+      CASE WHEN lang = 'en' THEN 0.5
+           WHEN lang = 'de' THEN 0.1 ELSE 0.02 END
 """,
         "text_token_stats": r"""
 SELECT doc_id,

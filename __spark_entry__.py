@@ -316,6 +316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(s, d), k=3),
         "ann_pairwise_topk_lsh": lambda s, d: similarity.pairwise_topk_per_label_lsh(
             _embs(s, d), k=3),
+        # benchmark = every 17th doc (deterministic eval-set stand-in);
+        # kept = docs sharing no 32-char-gram with it
+        "dedup_decontaminate": lambda s, d: dedup.decontaminate(
+            _docs(s, d), _docs(s, d).filter("doc_id % 17 = 0"), n=32)
+            .select("doc_id"),
         # -- deterministic sampling / splits -----------------------------
         "sample_split": lambda s, d: sampling.hash_split(_docs(s, d)),
         "sample_fraction": lambda s, d: sampling.deterministic_sample(
@@ -738,6 +743,19 @@ rk AS (
   FROM pairs
 )
 SELECT label, vec_a, vec_b, cosine FROM rk WHERE rk <= 3
+""",
+        "dedup_decontaminate": f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_shingles_sql('text', 32)}) AS s
+  FROM documents WHERE doc_id % 17 = 0
+), hits AS (
+  SELECT DISTINCT d.doc_id
+  FROM (SELECT doc_id, unnest({_shingles_sql('text', 32)}) AS s
+        FROM documents) d
+  JOIN bench USING (s)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 """,
         "sample_split": _sample_split_sql(),
         "sample_fraction": f"""

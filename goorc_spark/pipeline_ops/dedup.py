@@ -359,6 +359,27 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFr
     )
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 32) -> DataFrame:
+    """Benchmark decontamination: drop every training document that shares
+    ANY character n-gram with the benchmark/eval set — the standard
+    pre-training hygiene step (GPT-3-style 13-token-gram overlap, here as
+    char-grams to stay engine-reproducible).
+
+    Plan shape (and why it scales to 10^12 docs): the benchmark's distinct
+    n-gram set is tiny (eval sets are MBs), so it is explicitly
+    `broadcast()` — the corpus side is a narrow shingle explode + broadcast
+    semi-join + anti-join on hit doc_ids; the full corpus is never
+    shuffled. Returns the KEPT rows of `docs`."""
+    bench_sh = benchmark.select(
+        F.explode(_shingles(F.col("text"), n)).alias("s")).distinct()
+    doc_sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s"))
+    hits = doc_sh.join(F.broadcast(bench_sh), "s") \
+        .select("doc_id").distinct()
+    return docs.join(hits, "doc_id", "left_anti")
+
+
 def dedup_keep(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
     """Terminal dedup: the doc_ids a pipeline actually KEEPS. Exact
     duplicates keep their lowest doc_id; near-duplicate pairs (exact n-gram

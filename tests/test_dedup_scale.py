@@ -110,6 +110,23 @@ def test_ivf_topk_candidates_respect_cells(spark):
     assert len({r["cell"] for r in top}) <= 2
 
 
+def test_decontaminate_drops_overlaps_only(spark):
+    bench = _docs(spark, ["the secret benchmark question about turtles"])
+    train = _docs(spark, [
+        "completely unrelated text about ships and the open sea today",
+        "leaked: the secret benchmark question about turtles appears here",
+        "another clean document that shares nothing with the eval sets",
+    ])
+    kept = {r.doc_id for r in
+            dedup.decontaminate(train, bench, n=24).collect()}
+    assert kept == {0, 2}  # only the contaminated doc is dropped
+    # the benchmark n-gram side is broadcast, never shuffled
+    import re
+    plan = dedup.decontaminate(train, bench, n=24) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert re.search("BroadcastHashJoin|BroadcastExchange", plan)
+
+
 def test_components_transitive_chain(spark):
     """A~B and B~C without A~C must land in ONE component (label = min id);
     dedup_keep's greedy policy drops both B and C."""

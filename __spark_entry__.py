@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": lambda s, d: sampling.stratified_sample(
             _docs(s, d), "lang",
             {"en": 0.5, "de": 0.1}, default_fraction=0.02).select("doc_id"),
+        "sample_pack": lambda s, d: sampling.pack_sequences(
+            _docs(s, d), budget_tokens=512, buckets=8),
         # -- text analysis -----------------------------------------------
         "text_token_stats": lambda s, d: text.token_stats(_docs(s, d)),
         "text_bpe_tokens": lambda s, d: text.bpe_token_stats(_docs(s, d)),
@@ -767,6 +769,22 @@ SELECT doc_id FROM documents
 WHERE {_unit_hash_sql('strata', 'doc_id')} <
       CASE WHEN lang = 'en' THEN 0.5
            WHEN lang = 'de' THEN 0.1 ELSE 0.02 END
+""",
+        "sample_pack": f"""
+WITH staged AS (
+  SELECT doc_id,
+         {_hex32_sql("md5('pack|' || CAST(doc_id AS VARCHAR))", 1)} % 8
+             AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+             AS n_tokens
+  FROM documents
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM staged
 """,
         "text_token_stats": r"""
 SELECT doc_id,

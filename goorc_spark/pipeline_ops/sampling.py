@@ -60,6 +60,36 @@ def deterministic_sample(docs: DataFrame, fraction: float,
     return docs.filter(u < F.lit(float(fraction)))
 
 
+def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
+                   buckets: int = 64, key: str = "doc_id",
+                   salt: str = "pack") -> DataFrame:
+    """Greedy sequence packing: assign each document to a pack whose
+    cumulative whitespace-token count stays near `budget_tokens` — the
+    training-batch assembly step. Deterministic and distributed: a hash
+    bucket spreads the corpus over `buckets` independent streams (the
+    window sort is per-bucket, never a global sort), the within-bucket
+    order is (doc_id), and a document joins the pack its RUNNING total
+    starts in (floor(preceding_tokens / budget)). Documents longer than
+    the budget own their packs. Approximate by design (no cross-bucket
+    rebalancing) — the standard scalable packing scheme; exactness claim =
+    same algebra as the SQL oracle."""
+    from pyspark.sql import Window
+
+    t = F.trim(F.col("text"))
+    n_tok = F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+    b = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key).cast("string"))),
+        1, 8), 16, 10).cast("long") % buckets).alias("bucket")
+    w = (Window.partitionBy("bucket").orderBy(key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = docs.select(key, b, n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        key, "bucket", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget_tokens)
+         .cast("long").alias("pack_id"))
+
+
 def stratified_sample(docs: DataFrame, strata_col: str,
                       fractions: dict[str, float],
                       default_fraction: float = 0.0,

@@ -47,6 +47,23 @@ def test_sample_reproducible_and_nested(spark):
     assert a - split_train  # the sample is not just the head of train
 
 
+def test_pack_sequences_budget(spark):
+    docs = _docs(spark, 500).withColumn(
+        "text", F.concat(F.lit("w "), F.repeat(F.lit("tok "),
+                                               (F.col("doc_id") % 40).cast("int"))))
+    packs = sampling.pack_sequences(docs, budget_tokens=100, buckets=4)
+    assert packs.count() == 500
+    # a pack's preceding-total start positions all lie inside one budget
+    # window; total tokens per pack stay under budget + one max doc
+    agg = (packs.groupBy("bucket", "pack_id")
+           .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+           .collect())
+    assert all(r["tot"] <= 100 + r["mx"] for r in agg)
+    # deterministic: same input, same packing
+    again = sampling.pack_sequences(docs, budget_tokens=100, buckets=4)
+    assert packs.exceptAll(again).count() == 0
+
+
 def test_stratified_rates(spark):
     docs = _docs(spark, 3000).withColumn(
         "lang", F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),

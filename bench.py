@@ -379,7 +379,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from goorc_spark import engine, transcripts
-    from goorc_spark.pipeline_ops import dedup, similarity, text
+    from goorc_spark.pipeline_ops import dedup, sampling, similarity, text
 
     spark = make_session(CPUS, 2 * CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -490,6 +490,10 @@ def main() -> None:
                 docs, max_hamming=8).count(),
             "dedup_embedding_lsh": lambda: dedup.embedding_near_dup_lsh(
                 embs, threshold=0.35).count(),
+            "dedup_decontaminate": lambda: dedup.decontaminate(
+                docs, docs.filter("doc_id % 17 = 0"), n=32).count(),
+            "sample_split": lambda: sampling.hash_split(docs).count(),
+            "sample_pack": lambda: sampling.pack_sequences(docs).count(),
             "text_token_stats": lambda: text.token_stats(docs).count(),
             "text_quality_score": lambda: text.quality_score(docs).count(),
             "text_lang_id": lambda: text.lang_id(docs).count(),

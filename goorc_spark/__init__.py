@@ -21,11 +21,15 @@ Layout
                             nested struct/list/map columns
 ``goorc_spark.engine``      Spark pipeline: partitioning, salting, encode,
                             decode, projection, pruning, lineage/resume
-``goorc_spark.streaming``   Structured Streaming incremental encode
+``goorc_spark.streaming``   Structured Streaming incremental encode,
+                            stateful conversation stats, watermarked
+                            windowed ingest rollup
+``goorc_spark.orc_bridge``  real-ORC file interop (ingest/export)
 ``goorc_spark.transcripts`` deterministic transcripts table (synthetic +
                             derived-from-events with a DuckDB oracle twin)
-``goorc_spark.pipeline_ops`` training-data ops: dedup, similarity, text
-                            analysis, multimodal stubs
+``goorc_spark.pipeline_ops`` training-data ops: dedup + decontamination,
+                            similarity search, text analysis, deterministic
+                            splits/sampling/packing, multimodal stubs
 """
 
 __version__ = "0.1.0"

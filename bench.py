@@ -340,12 +340,14 @@ def main() -> None:
     # 0.77-1.01 across otherwise-identical runs), so the phase retries up to
     # MAX_SCALE_ATTEMPTS times when the measured efficiency lands below the
     # gate; EVERY attempt is recorded in detail.scaling.attempts and the
-    # best pair is reported. A genuine scaling regression shows up as all
-    # attempts failing, not as a hidden retry.
+    # headline is the MEDIAN attempt (ADVICE r2: max-of-noisy-samples
+    # biases the gate upward; median measures central tendency, best/worst
+    # stay visible in the detail). A genuine scaling regression shows up
+    # as a failing median, not as a hidden retry.
     n_exec = 1
     n4_exec = 4 * n_exec
     attempts: list[dict] = []
-    small = big = None
+    runs: list[tuple[float, dict, dict]] = []
     method = "standalone-cluster"
     for _ in range(MAX_SCALE_ATTEMPTS):
         try:
@@ -360,13 +362,15 @@ def main() -> None:
         attempts.append({"n_tps": s["turns_per_sec"],
                          "4n_tps": b["turns_per_sec"],
                          "efficiency": round(e_i, 3)})
-        if small is None or e_i > (big["turns_per_sec"]
-                                   / small["turns_per_sec"]) / 4.0:
-            small, big = s, b
+        runs.append((e_i, s, b))
         if e_i >= 0.82:
             break
-    eff = (big["turns_per_sec"] / small["turns_per_sec"]) / 4.0
+    runs.sort(key=lambda r: r[0])
+    eff, small, big = runs[len(runs) // 2]  # median attempt (upper on ties)
     extras["scaling"] = {"n": small, "4n": big, "efficiency": round(eff, 3),
+                         "headline": "median-attempt",
+                         "best": max(a["efficiency"] for a in attempts),
+                         "worst": min(a["efficiency"] for a in attempts),
                          "method": method, "attempts": attempts}
     queries["encode_scale_n"] = small["sec"]
     queries["encode_scale_4n"] = big["sec"]

@@ -18,6 +18,7 @@ decimal is the one object-typed fallback.
 
 from __future__ import annotations
 
+import decimal as _decimal
 import zlib
 
 import numpy as np
@@ -264,10 +265,17 @@ def _strip_diagnostics(cols_meta: list[dict]) -> None:
 
 
 def _coerce_bound(stored, probe):
-    """JSON round-trips datetimes/decimals as strings (json default=str);
-    compare in the stored domain — str() of both is order-preserving for
-    the supported key kinds (ISO timestamps, fixed-scale decimals)."""
+    """JSON round-trips datetimes/decimals as strings (json default=str).
+    ISO timestamps/dates are fixed-width, so string comparison preserves
+    order; Decimal str() is NOT order-preserving when integer-digit counts
+    or signs differ ('9.50' > '10.20' lexicographically), so decimal probes
+    parse the stored bound back into the numeric domain."""
     if isinstance(stored, str) and not isinstance(probe, str):
+        if isinstance(probe, _decimal.Decimal):
+            try:
+                return _decimal.Decimal(stored), probe
+            except _decimal.InvalidOperation:
+                pass
         return stored, str(probe)
     return stored, probe
 

@@ -26,6 +26,7 @@ encoded partitions.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -664,11 +665,20 @@ def compact_stripes(stripes: DataFrame, spec: list[dict],
     return big.select(*recoded.columns).union(recoded)
 
 
+_TABLE_IDENT = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*){1,2}$")
+
+
 def _is_table_target(target: str) -> bool:
-    """Catalog table identifier (`db.tbl`, `catalog.db.tbl`) vs filesystem
-    path: paths carry a separator or a URI scheme (s3://, file:, hdfs:)."""
-    return ("/" not in target and "\\" not in target and ":" not in target
-            and not target.startswith((".", "~")))
+    """Catalog table identifier vs filesystem path. Tables must be
+    explicit: a dotted identifier (`db.tbl`, `catalog.db.tbl`) or a
+    `table:` prefix. A bare relative name ('stripes_out') is a path —
+    earlier versions classified it as a table and silently created a
+    managed table when the caller meant a relative directory."""
+    return target.startswith("table:") or bool(_TABLE_IDENT.match(target))
+
+
+def _table_name(target: str) -> str:
+    return target[6:] if target.startswith("table:") else target
 
 
 def write_encoded(stripes: DataFrame, target: str,
@@ -687,6 +697,7 @@ def write_encoded(stripes: DataFrame, target: str,
     if not _is_table_target(target):
         stripes.write.mode(mode).parquet(target)
         return
+    target = _table_name(target)
     spark = stripes.sparkSession
     exists = spark.catalog.tableExists(target)
     if mode == "error" and exists:
@@ -709,7 +720,7 @@ def write_encoded(stripes: DataFrame, target: str,
 def read_encoded(spark: SparkSession, target: str) -> DataFrame:
     """Load a stripe table written by `write_encoded` (path or catalog
     table)."""
-    return (spark.read.table(target) if _is_table_target(target)
+    return (spark.read.table(_table_name(target)) if _is_table_target(target)
             else spark.read.parquet(target))
 
 

@@ -276,3 +276,37 @@ def test_string_rowgroup_ranges_prune_and_skip_long_text():
     assert arrow_stripe._bound_str("x" * 100, is_max=True) > "x" * 100
     assert arrow_stripe._bound_str("x" * 100, is_max=False) <= "x" * 100
     assert len(arrow_stripe._bound_str("x" * 100, is_max=True)) <= 64
+
+
+def test_decimal_key_bounds_compare_numerically():
+    """ADVICE r2: json default=str stores a Decimal key bound as e.g.
+    '9.50'; lexicographic compare against Decimal('10.20') wrongly
+    pruned the covering group ('9.50' <= '10.20' is False as strings).
+    Bounds on decimal columns must compare in the numeric domain —
+    including sign changes."""
+    n = 8000
+    # keys ascend -20.00 .. 59.99 step 0.01; rg_rows=700 puts group
+    # boundaries at -20.00, -13.00, ..., 8.00, 15.00 — so the group
+    # holding 10.20 has key_min '8.00' (str '8.00' > '10.20': the bug),
+    # and the group holding -19.50 has key_min '-20.00' (str > '-19.50')
+    vals = [decimal.Decimal(i - 2000).scaleb(-2) for i in range(n)]
+    t = pa.table({
+        "dkey": pa.array(vals, type=pa.decimal128(12, 2)),
+        "turn_idx": pa.array(np.zeros(n, np.int32)),
+    })
+    spec = [{"name": "dkey", "kind": "decimal", "precision": 12, "scale": 2},
+            {"name": "turn_idx", "kind": "int"}]
+    blob, meta = arrow_stripe.encode_stripe_table(
+        t, spec, rg_rows=700, key_col="dkey", ord_col="turn_idx")
+    meta = json.loads(json.dumps(meta, default=str))
+    for probe in (decimal.Decimal("10.20"), decimal.Decimal("-19.50"),
+                  decimal.Decimal("35.00")):
+        sel = arrow_stripe.select_row_groups(meta, key_value=probe)
+        assert len(sel) == 1, f"probe {probe} pruned the covering group"
+        got = arrow_stripe.decode_stripe_batch(blob, meta, rg_sel=sel)
+        col = got.column("dkey").to_pylist()
+        assert probe in col
+    # key range probes go through the same coercion
+    sel = arrow_stripe.select_row_groups(
+        meta, key_lo=decimal.Decimal("9.00"), key_hi=decimal.Decimal("11.00"))
+    assert len(sel) == 1

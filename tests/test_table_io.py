@@ -15,18 +15,23 @@ from goorc_spark import engine, transcripts
 
 
 def _tbl() -> str:
-    return f"goorc_tbl_{uuid.uuid4().hex[:10]}"
+    return f"default.goorc_tbl_{uuid.uuid4().hex[:10]}"
 
 
 def test_is_table_target():
     assert engine._is_table_target("db.stripes")
     assert engine._is_table_target("iceberg.warehouse.stripes")
-    assert engine._is_table_target("stripes")
+    assert engine._is_table_target("table:stripes")
+    # bare relative names are PATHS — a table needs a dot or a table: prefix
+    assert not engine._is_table_target("stripes")
+    assert not engine._is_table_target("stripes_out")
     assert not engine._is_table_target("/tmp/stripes")
     assert not engine._is_table_target("s3://bucket/stripes")
     assert not engine._is_table_target("file:/tmp/x")
     assert not engine._is_table_target("./relative")
     assert not engine._is_table_target("~/stripes")
+    assert engine._table_name("table:stripes") == "stripes"
+    assert engine._table_name("db.stripes") == "db.stripes"
 
 
 def test_catalog_table_roundtrip(spark):

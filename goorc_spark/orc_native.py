@@ -1,0 +1,526 @@
+"""Native ORC v1 byte-format reader: real `.orc` files decoded by THIS
+repo's codecs — no `spark.read.orc`, no JVM, no protobuf dependency.
+
+The engine's own stripe format shares ORC's stream-level encodings
+(RLEv2, byte-RLE, bool-RLE, varint mantissas, raw IEEE floats) but frames
+them in its own parquet-native container. This module closes the last
+asymmetry with the reference (a native ORC engine): it parses the actual
+ORC file tail — PostScript, Footer, StripeFooter protobufs via a minimal
+wire-format decoder for exactly the six messages the tail needs — and
+decodes DIRECT_V2 / DICTIONARY_V2 streams with the same codec kernels the
+engine writer uses (goorc_spark.codecs.*), proving them byte-compatible
+with independent writers (Spark's JVM ORC writer, pyarrow.orc).
+
+Reference read path (behavior studied, architecture not ported):
+- tail extraction      /root/reference/orc/reader.go:254-343
+- stripe stream walk   /root/reference/orc/stripe.go:221-287
+- chunked decompress   /root/reference/orc/stream/reader.go:110-158
+- field/enum numbers   /root/reference/pb/orc_proto.proto (public ORC spec)
+
+Scale notes: one call decodes one file's bytes on one executor —
+distribution comes from Spark's `binaryFile` source + `mapInArrow`
+(`read_orc_files`), so a directory of N files decodes with N-way
+parallelism and per-file memory bounded by stripe size. Column projection
+skips non-selected streams entirely (offsets come from the stripe footer,
+pruned streams are never decompressed).
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+
+from goorc_spark.codecs import boolrle, byterle, floats, rlev2
+from goorc_spark.codecs.primitives import decode_svarints, decode_uvarints
+
+MAGIC = b"ORC"
+
+# CompressionKind (orc_proto.proto)
+COMP_NONE, COMP_ZLIB, COMP_SNAPPY, COMP_LZO, COMP_LZ4, COMP_ZSTD = range(6)
+# Stream.Kind
+(PRESENT, DATA, LENGTH, DICTIONARY_DATA, DICTIONARY_COUNT, SECONDARY,
+ ROW_INDEX, BLOOM_FILTER, BLOOM_FILTER_UTF8) = range(9)
+# ColumnEncoding.Kind
+ENC_DIRECT, ENC_DICTIONARY, ENC_DIRECT_V2, ENC_DICTIONARY_V2 = range(4)
+# Type.Kind
+(T_BOOLEAN, T_BYTE, T_SHORT, T_INT, T_LONG, T_FLOAT, T_DOUBLE, T_STRING,
+ T_BINARY, T_TIMESTAMP, T_LIST, T_MAP, T_STRUCT, T_UNION, T_DECIMAL,
+ T_DATE, T_VARCHAR, T_CHAR) = range(18)
+
+EPOCH_2015_S = 1420070400  # 2015-01-01T00:00:00Z
+
+
+# ---------------------------------------------------------------- protobuf
+# Minimal proto2 wire-format reader: field -> list of raw values
+# (wire type 0 -> int, 2 -> memoryview, 5 -> 4 bytes, 1 -> 8 bytes).
+# Enough for PostScript/Footer/StripeInformation/Type/StripeFooter/Stream.
+
+def _uvarint(buf, off: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[off]
+        off += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, off
+        shift += 7
+
+
+def pb_fields(buf) -> dict[int, list]:
+    """Decode one message's fields. Repeated fields accumulate in order."""
+    buf = memoryview(buf)
+    fields: dict[int, list] = {}
+    off, end = 0, len(buf)
+    while off < end:
+        tag, off = _uvarint(buf, off)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, off = _uvarint(buf, off)
+        elif wt == 2:
+            ln, off = _uvarint(buf, off)
+            val = buf[off:off + ln]
+            off += ln
+        elif wt == 5:
+            val = bytes(buf[off:off + 4])
+            off += 4
+        elif wt == 1:
+            val = bytes(buf[off:off + 8])
+            off += 8
+        else:
+            raise ValueError(f"unsupported proto wire type {wt}")
+        fields.setdefault(fnum, []).append(val)
+    return fields
+
+
+def _fint(f: dict, n: int, default=0) -> int:
+    return f[n][0] if n in f else default
+
+
+def _fpacked_u32(f: dict, n: int) -> list[int]:
+    """repeated uint32: packed (one length-delimited blob) or unpacked."""
+    out: list[int] = []
+    for v in f.get(n, []):
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            off = 0
+            while off < len(v):
+                x, off = _uvarint(v, off)
+                out.append(x)
+    return out
+
+
+# ---------------------------------------------------------------- file tail
+
+def _decompress(raw, kind: int) -> bytes:
+    """An ORC compressed stream: 3-byte little-endian chunk headers,
+    value = (chunkLen << 1) | isOriginal; zlib chunks are raw deflate."""
+    if kind == COMP_NONE:
+        return bytes(raw)
+    out = bytearray()
+    buf = memoryview(raw)
+    off, end = 0, len(buf)
+    while off < end:
+        h = buf[off] | (buf[off + 1] << 8) | (buf[off + 2] << 16)
+        off += 3
+        ln, original = h >> 1, h & 1
+        chunk_bytes = buf[off:off + ln]
+        off += ln
+        if original:
+            out += chunk_bytes
+        elif kind == COMP_ZLIB:
+            out += zlib.decompressobj(-15).decompress(bytes(chunk_bytes))
+        elif kind in (COMP_SNAPPY, COMP_LZ4, COMP_ZSTD):
+            raise NotImplementedError(
+                "only NONE/ZLIB chunks are natively decoded; write ORC with "
+                "orc.compress=ZLIB or NONE (Spark: option('compression',"
+                "'zlib'))")
+        else:
+            raise ValueError(f"unknown compression kind {kind}")
+    return bytes(out)
+
+
+def parse_postscript(buf) -> dict:
+    f = pb_fields(buf)
+    magic = bytes(f.get(8000, [b""])[0])
+    if magic != MAGIC:
+        raise ValueError(f"bad ORC postscript magic {magic!r}")
+    return {"footer_length": _fint(f, 1),
+            "compression": _fint(f, 2, COMP_NONE),
+            "block_size": _fint(f, 3, 256 * 1024),
+            "metadata_length": _fint(f, 5)}
+
+
+def parse_footer(buf) -> dict:
+    f = pb_fields(buf)
+    stripes = []
+    for s in f.get(3, []):
+        sf = pb_fields(s)
+        stripes.append({"offset": _fint(sf, 1), "index_length": _fint(sf, 2),
+                        "data_length": _fint(sf, 3),
+                        "footer_length": _fint(sf, 4),
+                        "n_rows": _fint(sf, 5)})
+    types = []
+    for t in f.get(4, []):
+        tf = pb_fields(t)
+        attrs = {}
+        for a in tf.get(7, []):  # repeated StringPair (key=1, value=2)
+            af = pb_fields(a)
+            if 1 in af and 2 in af:
+                attrs[bytes(af[1][0]).decode()] = bytes(af[2][0]).decode()
+        types.append({"kind": _fint(tf, 1),
+                      "subtypes": _fpacked_u32(tf, 2),
+                      "field_names": [bytes(v).decode() for v in tf.get(3, [])],
+                      "max_length": _fint(tf, 4),
+                      "precision": _fint(tf, 5, 38),
+                      "scale": _fint(tf, 6, 10),
+                      "attrs": attrs})
+    return {"stripes": stripes, "types": types,
+            "n_rows": _fint(f, 6), "row_index_stride": _fint(f, 8)}
+
+
+def parse_stripe_footer(buf) -> dict:
+    f = pb_fields(buf)
+    streams = []
+    for s in f.get(1, []):
+        sf = pb_fields(s)
+        streams.append({"kind": _fint(sf, 1), "column": _fint(sf, 2),
+                        "length": _fint(sf, 3)})
+    encodings = []
+    for e in f.get(2, []):
+        ef = pb_fields(e)
+        encodings.append({"kind": _fint(ef, 1), "dict_size": _fint(ef, 2)})
+    tz = bytes(f[3][0]).decode() if 3 in f else ""
+    return {"streams": streams, "encodings": encodings, "timezone": tz}
+
+
+def parse_tail(data: bytes) -> tuple[dict, dict]:
+    """(postscript, footer) from whole-file bytes (reference
+    extractFileTail, orc/reader.go:254-343: last byte = postscript
+    length, footer precedes the postscript)."""
+    if len(data) <= len(MAGIC) or data[:3] != MAGIC:
+        raise ValueError("not an ORC file")
+    ps_len = data[-1]
+    ps = parse_postscript(data[-1 - ps_len:-1])
+    foot_end = len(data) - 1 - ps_len
+    raw_footer = data[foot_end - ps["footer_length"]:foot_end]
+    footer = parse_footer(_decompress(raw_footer, ps["compression"]))
+    return ps, footer
+
+
+# ---------------------------------------------------------------- decoding
+
+def _tz_base_seconds(tz: str) -> int:
+    """Epoch seconds of 2015-01-01 00:00:00 in the writer timezone (ORC
+    stores timestamp seconds relative to that local instant)."""
+    if tz in ("", "UTC", "GMT", "Etc/UTC", "Etc/GMT", "Z"):
+        return EPOCH_2015_S
+    try:
+        from zoneinfo import ZoneInfo
+        return int(datetime(2015, 1, 1, tzinfo=ZoneInfo(tz)).timestamp())
+    except Exception as e:  # unknown tz database name
+        raise NotImplementedError(
+            f"ORC writer timezone {tz!r} not resolvable; per-value DST "
+            "conversion is out of scope — rewrite with a UTC writer") from e
+
+
+class _StripeCursor:
+    """Positions + lazy decompression of one stripe's streams."""
+
+    def __init__(self, data: bytes, stripe: dict, sf: dict, comp: int):
+        self.data = data
+        self.comp = comp
+        self.loc: dict[tuple[int, int], tuple[int, int]] = {}
+        off = stripe["offset"]
+        for s in sf["streams"]:
+            self.loc[(s["column"], s["kind"])] = (off, s["length"])
+            off += s["length"]
+        self.encodings = sf["encodings"]
+
+    def has(self, col: int, kind: int) -> bool:
+        return (col, kind) in self.loc
+
+    def stream(self, col: int, kind: int) -> bytes:
+        off, ln = self.loc[(col, kind)]
+        return _decompress(self.data[off:off + ln], self.comp)
+
+
+def _read_ints(cur: _StripeCursor, col: int, n: int, kind: int,
+               signed: bool) -> np.ndarray:
+    enc = cur.encodings[col]["kind"]
+    if enc not in (ENC_DIRECT_V2, ENC_DICTIONARY_V2):
+        raise NotImplementedError(
+            f"column {col}: RLEv1 encoding {enc} not supported (DIRECT_V2 "
+            "is what modern writers emit)")
+    return rlev2.decode(cur.stream(col, kind), n, signed=signed)
+
+
+def _decode_big_svarints(raw: bytes, count: int) -> list[int]:
+    """Zigzag base-128 varints wider than 64 bits (ORC decimal mantissas
+    above precision 18) as Python ints."""
+    out = []
+    off = 0
+    for _ in range(count):
+        u, off = _uvarint(raw, off)
+        out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _present_mask(cur: _StripeCursor, col: int, n_rows: int):
+    if cur.has(col, PRESENT):
+        return boolrle.decode(cur.stream(col, PRESENT), n_rows)
+    return None
+
+
+def _take_spread(values: pa.Array, mask) -> pa.Array:
+    """Vectorized null-scatter: indices for present rows, null elsewhere."""
+    if mask is None:
+        return values
+    pos = (np.cumsum(mask) - 1).astype(np.int64)
+    take = pa.array(pos, type=pa.int64(), mask=~mask)
+    return values.take(take)
+
+
+def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
+                   n_rows: int, tz_base: int,
+                   include: set[int] | None = None) -> pa.Array:
+    t = types[col]
+    kind = t["kind"]
+    mask = _present_mask(cur, col, n_rows)
+    n_vals = int(mask.sum()) if mask is not None else n_rows
+
+    if kind == T_STRUCT:
+        children, names = [], []
+        for cid, name in zip(t["subtypes"], t["field_names"]):
+            if include is not None and cid not in include:
+                continue
+            children.append(_decode_column(cur, types, cid, n_vals, tz_base,
+                                           include))
+            names.append(name)
+        st = pa.StructArray.from_arrays(children, names)
+        return _take_spread(st, mask)
+
+    if kind in (T_LIST, T_MAP):
+        lengths = _read_ints(cur, col, n_vals, LENGTH, signed=False)
+        n_child = int(lengths.sum())
+        offsets = np.zeros(n_vals + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        if kind == T_LIST:
+            child = _decode_column(cur, types, t["subtypes"][0], n_child,
+                                   tz_base, None)
+            dense = pa.ListArray.from_arrays(pa.array(offsets), child)
+        else:
+            keys = _decode_column(cur, types, t["subtypes"][0], n_child,
+                                  tz_base, None)
+            vals = _decode_column(cur, types, t["subtypes"][1], n_child,
+                                  tz_base, None)
+            dense = pa.MapArray.from_arrays(pa.array(offsets), keys, vals)
+        return _take_spread(dense, mask)
+
+    if kind == T_BOOLEAN:
+        bits = boolrle.decode(cur.stream(col, DATA), n_vals)
+        vals = pa.array(bits, type=pa.bool_())
+    elif kind == T_BYTE:
+        b = byterle.decode(cur.stream(col, DATA), n_vals)
+        vals = pa.array(b.view(np.int8), type=pa.int8())
+    elif kind in (T_SHORT, T_INT, T_LONG):
+        ints = _read_ints(cur, col, n_vals, DATA, signed=True)
+        vals = pa.array(ints, type=pa.int64())
+        if t.get("attrs", {}).get("spark.sql.catalyst.type") == "timestamp_ntz":
+            # Spark's ORC writer stores TIMESTAMP_NTZ as LONG epoch-micros
+            # tagged with a catalyst-type attribute (observed in JVM-written
+            # files; pyarrow.orc surfaces the same longs untagged)
+            vals = vals.view(pa.timestamp("us"))
+        else:
+            typ = {T_SHORT: pa.int16(), T_INT: pa.int32(),
+                   T_LONG: pa.int64()}[kind]
+            if typ != pa.int64():
+                vals = vals.cast(typ)
+    elif kind == T_FLOAT:
+        # real ORC writers emit little-endian float32; the reference's
+        # big-endian float32 (orc/encoding/float.go:27) is its own quirk,
+        # kept only in the engine's internal format for vector parity
+        vals = pa.array(np.frombuffer(cur.stream(col, DATA), dtype="<f4",
+                                      count=n_vals))
+    elif kind == T_DOUBLE:
+        vals = pa.array(floats.decode_f64(cur.stream(col, DATA), n_vals))
+    elif kind in (T_STRING, T_VARCHAR, T_CHAR, T_BINARY):
+        enc = cur.encodings[col]["kind"]
+        out_t = pa.binary() if kind == T_BINARY else pa.utf8()
+        if enc == ENC_DICTIONARY_V2:
+            dict_n = cur.encodings[col]["dict_size"]
+            dlen = rlev2.decode(cur.stream(col, LENGTH), dict_n,
+                                signed=False)
+            doffs = np.zeros(dict_n + 1, dtype=np.int64)
+            np.cumsum(dlen, out=doffs[1:])
+            dict_bytes = cur.stream(col, DICTIONARY_DATA)
+            idx = _read_ints(cur, col, n_vals, DATA, signed=False)
+            dict_arr = pa.Array.from_buffers(
+                pa.large_utf8() if kind != T_BINARY else pa.large_binary(),
+                dict_n,
+                [None, pa.py_buffer(doffs.tobytes()),
+                 pa.py_buffer(dict_bytes)])
+            vals = dict_arr.take(pa.array(idx, type=pa.int64())).cast(out_t)
+        else:
+            lens = _read_ints(cur, col, n_vals, LENGTH, signed=False)
+            offs = np.zeros(n_vals + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            content = cur.stream(col, DATA)
+            big_t = pa.large_binary() if kind == T_BINARY else pa.large_utf8()
+            vals = pa.Array.from_buffers(
+                big_t, n_vals,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(content)]).cast(out_t)
+    elif kind == T_DATE:
+        days = _read_ints(cur, col, n_vals, DATA, signed=True)
+        vals = pa.array(days.astype(np.int32)).view(pa.date32())
+    elif kind == T_TIMESTAMP:
+        from goorc_spark.codecs.timestamps import unpack_nanos
+        secs = _read_ints(cur, col, n_vals, DATA, signed=True)
+        packed = _read_ints(cur, col, n_vals, SECONDARY, signed=False)
+        nanos = unpack_nanos(packed.astype(np.uint64)).astype(np.int64)
+        abs_sec = secs + tz_base
+        # Java writer truncates seconds toward zero for pre-base instants
+        # (millis/1000 in Java rounds up when negative), storing the nanos
+        # of the NEXT lower second — shift those rows down one second.
+        fix = (abs_sec < 0) & (nanos > 0)
+        abs_sec = abs_sec - fix.astype(np.int64)
+        micros = abs_sec * 1_000_000 + nanos // 1000
+        vals = pa.array(micros, type=pa.int64()).view(pa.timestamp("us"))
+    elif kind == T_DECIMAL:
+        from goorc_spark.arrow_stripe import _decimal_from_limbs
+        scales = _read_ints(cur, col, n_vals, SECONDARY, signed=True)
+        prec, scale = t["precision"], t["scale"]
+        raw = cur.stream(col, DATA)
+        if prec <= 18:
+            mants, _ = decode_svarints(raw, n_vals)
+            unscaled = mants * np.power(10, (scale - scales).clip(min=0))
+            lo = unscaled.view(np.uint64)
+            hi = (unscaled >> 63).astype(np.int64)  # sign extension
+        else:
+            # >64-bit mantissas: per-value big-int varint walk (decimal128
+            # columns are rare; bounded by stripe rows)
+            big = _decode_big_svarints(raw, n_vals)
+            lo = np.empty(n_vals, dtype=np.uint64)
+            hi = np.empty(n_vals, dtype=np.int64)
+            m64 = (1 << 64) - 1
+            for i, (m, s) in enumerate(zip(big, scales.tolist())):
+                v = m * 10 ** max(scale - s, 0)
+                lo[i] = v & m64
+                hi[i] = v >> 64
+        vals = _decimal_from_limbs(lo, hi, None, n_vals, prec, scale)
+    else:
+        raise NotImplementedError(f"ORC type kind {kind} (union) not "
+                                  "supported — matches the reference "
+                                  "(orc/column/package.go:187-192)")
+    return _take_spread(vals, mask)
+
+
+def _arrow_type(types: list[dict], col: int) -> pa.DataType:
+    t = types[col]
+    k = t["kind"]
+    simple = {T_BOOLEAN: pa.bool_(), T_BYTE: pa.int8(), T_SHORT: pa.int16(),
+              T_INT: pa.int32(), T_LONG: pa.int64(), T_FLOAT: pa.float32(),
+              T_DOUBLE: pa.float64(), T_STRING: pa.utf8(),
+              T_VARCHAR: pa.utf8(), T_CHAR: pa.utf8(),
+              T_BINARY: pa.binary(), T_DATE: pa.date32(),
+              T_TIMESTAMP: pa.timestamp("us")}
+    if k == T_LONG and t.get("attrs", {}).get(
+            "spark.sql.catalyst.type") == "timestamp_ntz":
+        return pa.timestamp("us")
+    if k in simple:
+        return simple[k]
+    if k == T_DECIMAL:
+        return pa.decimal128(t["precision"], t["scale"])
+    if k == T_LIST:
+        return pa.list_(_arrow_type(types, t["subtypes"][0]))
+    if k == T_MAP:
+        return pa.map_(_arrow_type(types, t["subtypes"][0]),
+                       _arrow_type(types, t["subtypes"][1]))
+    if k == T_STRUCT:
+        return pa.struct([(n, _arrow_type(types, c))
+                          for n, c in zip(t["field_names"], t["subtypes"])])
+    raise NotImplementedError(f"ORC type kind {k}")
+
+
+def _include_ids(types: list[dict], columns: list[str] | None) -> set[int] | None:
+    """Closure of selected root fields' type subtrees (projection skips
+    every stream of a pruned subtree)."""
+    if columns is None:
+        return None
+    root = types[0]
+    keep: set[int] = {0}
+
+    def add(cid: int) -> None:
+        keep.add(cid)
+        for c in types[cid]["subtypes"]:
+            add(c)
+
+    for name, cid in zip(root["field_names"], root["subtypes"]):
+        if name in columns:
+            add(cid)
+    return keep
+
+
+def read_orc(data: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode a whole ORC file's bytes into an Arrow table using only this
+    repo's codecs. Supports NONE/ZLIB compression, DIRECT_V2 +
+    DICTIONARY_V2 encodings, every ORC v1 type except UNION."""
+    ps, footer = parse_tail(data)
+    types = footer["types"]
+    if types[0]["kind"] != T_STRUCT:
+        raise ValueError("ORC root type must be a struct")
+    include = _include_ids(types, columns)
+    batches = []
+    for stripe in footer["stripes"]:
+        foot_off = (stripe["offset"] + stripe["index_length"]
+                    + stripe["data_length"])
+        sf = parse_stripe_footer(_decompress(
+            data[foot_off:foot_off + stripe["footer_length"]],
+            ps["compression"]))
+        tz_base = _tz_base_seconds(sf["timezone"])
+        cur = _StripeCursor(data, stripe, sf, ps["compression"])
+        root = _decode_column(cur, types, 0, stripe["n_rows"], tz_base,
+                              include)
+        batches.append(pa.RecordBatch.from_struct_array(root))
+    if not batches:
+        names = types[0]["field_names"]
+        ids = types[0]["subtypes"]
+        schema = pa.schema([(n, _arrow_type(types, c))
+                            for n, c in zip(names, ids)
+                            if include is None or c in include])
+        return schema.empty_table()
+    return pa.Table.from_batches(batches)
+
+
+def read_orc_files(spark, path: str, columns: list[str] | None = None):
+    """Distributed native ORC scan: `binaryFile` lists + ships file bytes,
+    `mapInArrow` decodes each file with `read_orc` on executors — one file
+    per task, memory bounded by file size (ORC files at 10^12-turn scale
+    are written stripe-sized; a splittable variant would read byte ranges
+    per stripe via the same parse_tail offsets)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("content")
+
+    # schema from one file's tail (driver reads just that file's bytes)
+    first = files.limit(1).collect()
+    if not first:
+        raise ValueError(f"no files under {path}")
+    sample = read_orc(bytes(first[0].content), columns)
+    schema = from_arrow_schema(sample.schema)
+
+    def _decode(iterator):
+        for batch in iterator:
+            for row in range(batch.num_rows):
+                blob = batch.column(0)[row].as_py()
+                tbl = read_orc(blob, columns)
+                for b in tbl.to_batches():
+                    yield b
+
+    return files.mapInArrow(_decode, schema)

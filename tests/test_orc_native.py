@@ -1,0 +1,212 @@
+"""Native ORC byte-format reader (goorc_spark.orc_native): real `.orc`
+files decoded by the repo's own codecs — no spark.read.orc anywhere here.
+
+Goldens come from two independent writers, mirroring the reference's
+Java-golden interop strategy (/root/reference/testing/interop_reader_test.go:
+19-59, 379-407):
+- pyarrow.orc (C++ ORC writer) for the full type matrix, and
+- Spark's JVM ORC writer for the transcripts shape + timestamp semantics
+  (incl. the Spark TIMESTAMP_NTZ-as-LONG attribute convention).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import glob
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as po
+import pytest
+
+from goorc_spark import orc_native as on
+
+
+def _rt(t: pa.Table, comp="zlib", cols=None, **kw) -> pa.Table:
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression=comp, **kw)
+    return on.read_orc(buf.getvalue(), columns=cols)
+
+
+def test_scalars_roundtrip_none_and_zlib():
+    t = pa.table({
+        "a": pa.array([1, 2, None, 40_000_000_000], type=pa.int64()),
+        "b": pa.array(["x", None, "hello", "x"]),
+        "c": pa.array([1.5, 2.5, None, -3.25], type=pa.float64()),
+        "d": pa.array([True, None, False, True]),
+        "i8": pa.array([1, -2, None, 127], type=pa.int8()),
+        "i16": pa.array([100, -30000, None, 7], type=pa.int16()),
+        "i32": pa.array([1, 2, None, -5], type=pa.int32()),
+        "f32": pa.array([1.5, None, -2.25, 0.0], type=pa.float32()),
+        "bin": pa.array([b"\x00\x01", None, b"xyz", b""], type=pa.binary()),
+    })
+    for comp in ("uncompressed", "zlib"):
+        assert _rt(t, comp).cast(t.schema).equals(t)
+
+
+def test_timestamps_including_pre_epoch():
+    ts = [datetime.datetime(2020, 5, 17, 12, 30, 1, 123456),
+          datetime.datetime(2014, 12, 31, 23, 59, 59, 999999),
+          datetime.datetime(1969, 7, 20, 20, 17, 40, 500000),
+          datetime.datetime(1900, 1, 1, 0, 0, 0, 1),
+          None,
+          datetime.datetime(2015, 1, 1)]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+    assert _rt(t).cast(t.schema).equals(t)
+
+
+def test_date_decimal():
+    t = pa.table({
+        "d": pa.array([datetime.date(1969, 12, 31),
+                       datetime.date(2024, 2, 29), None]),
+        "dec": pa.array([decimal.Decimal("12345.67"),
+                         decimal.Decimal("-0.01"), None],
+                        type=pa.decimal128(12, 2)),
+        "big": pa.array([decimal.Decimal("123456789012345678901234.567890"),
+                         None, decimal.Decimal("-1.000001")],
+                        type=pa.decimal128(38, 6)),
+    })
+    assert _rt(t).cast(t.schema).equals(t)
+
+
+def test_dictionary_string_encoding():
+    # low-cardinality, many rows: the C++ writer picks DICTIONARY_V2
+    vals = ["user", "assistant", "system"] * 500 + [None]
+    t = pa.table({"role": pa.array(vals)})
+    assert _rt(t).cast(t.schema).equals(t)
+
+
+def test_nested_list_map_struct():
+    t = pa.table({
+        "arr": pa.array([[1, 2], None, [], [3, None]],
+                        type=pa.list_(pa.int64())),
+        "m": pa.array([[("a", 1)], None, [], [("b", None), ("c", 3)]],
+                      type=pa.map_(pa.utf8(), pa.int64())),
+        "st": pa.array([{"x": 1, "y": "p"}, None, {"x": None, "y": "q"},
+                        {"x": 4, "y": None}],
+                       type=pa.struct([("x", pa.int64()), ("y", pa.utf8())])),
+    })
+    assert _rt(t).cast(t.schema).equals(t)
+
+
+def test_projection_skips_columns():
+    t = pa.table({"a": pa.array([1, 2, 3]), "b": pa.array(["x", "y", "z"]),
+                  "c": pa.array([1.0, 2.0, 3.0])})
+    got = _rt(t, cols=["b", "c"])
+    assert got.column_names == ["b", "c"]
+    assert got.column("b").to_pylist() == ["x", "y", "z"]
+
+
+def test_large_single_file():
+    big = pa.table({"x": pa.array(np.arange(200_000)),
+                    "s": pa.array([f"v{i % 97}" for i in range(200_000)])})
+    buf = io.BytesIO()
+    po.write_table(big, buf, compression="zlib")
+    assert on.read_orc(buf.getvalue()).cast(big.schema).equals(big)
+
+
+def test_multi_stripe_jvm(spark, tmp_path):
+    """orc.stripe.size forces several stripes per file; every stripe's
+    footer is parsed and decoded independently."""
+    from pyspark.sql import functions as F
+    df = (spark.range(150_000)
+          .select(F.col("id"), (F.col("id") % 97).cast("string").alias("s"),
+                  (F.rand(7) * 100).alias("v")).coalesce(1))
+    path = str(tmp_path / "multistripe")
+    (df.write.mode("overwrite").option("compression", "zlib")
+       .option("orc.stripe.size", str(256 * 1024))
+       .option("orc.row.index.stride", "10000").orc(path))
+    f = sorted(glob.glob(path + "/*.orc"))[0]
+    data = open(f, "rb").read()
+    _, footer = on.parse_tail(data)
+    assert len(footer["stripes"]) > 1
+    got = on.read_orc(data)
+    assert got.num_rows == 150_000
+    assert sorted(got.column("id").to_pylist()) == list(range(150_000))
+
+
+def test_snappy_rejected_clearly():
+    # data must actually compress — tiny inputs are stored as "original"
+    # chunks, which decode fine under any codec
+    t = pa.table({"a": pa.array(list(range(50_000)) * 4)})
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="snappy")
+    with pytest.raises(NotImplementedError, match="ZLIB or NONE"):
+        on.read_orc(buf.getvalue())
+
+
+# ------------------------------------------------------- JVM-writer goldens
+
+def _spark_golden(spark, df, path: str, comp: str) -> pa.Table:
+    df.write.mode("overwrite").option("compression", comp).orc(path)
+    files = sorted(glob.glob(path + "/*.orc"))
+    assert files
+    return pa.concat_tables([on.read_orc(open(f, "rb").read())
+                             for f in files])
+
+
+def _assert_frames_equal(got: pa.Table, want_df, keys: list[str]) -> None:
+    import pandas as pd
+    g = got.to_pandas().sort_values(keys).reset_index(drop=True)
+    w = want_df.toPandas().sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[w.columns].astype(w.dtypes.to_dict()), w)
+
+
+def test_jvm_golden_transcripts(spark, tmp_path):
+    from goorc_spark import transcripts
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    for comp in ("zlib", "none"):
+        got = _spark_golden(spark, df, str(tmp_path / f"g_{comp}"), comp)
+        _assert_frames_equal(got, df, ["conv_id", "turn_idx"])
+
+
+def test_jvm_golden_ltz_timestamp(spark, tmp_path):
+    """ORC TIMESTAMP kind (9): seconds-rel-2015 + packed nanos + the
+    writer-timezone base, including rows BEFORE the 2015 base."""
+    from pyspark.sql import functions as F
+    from goorc_spark import transcripts
+    df = (transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+          .select("conv_id", "turn_idx",
+                  F.col("ts").cast("timestamp").alias("ts_ltz"),
+                  F.expr("cast(ts - interval 600 months as timestamp)")
+                   .alias("ts_old")))
+    got = _spark_golden(spark, df, str(tmp_path / "g_ltz"), "zlib")
+    ps, footer = on.parse_tail(
+        open(sorted(glob.glob(str(tmp_path / "g_ltz") + "/*.orc"))[0],
+             "rb").read())
+    kinds = [t["kind"] for t in footer["types"]]
+    assert on.T_TIMESTAMP in kinds
+    _assert_frames_equal(got, df, ["conv_id", "turn_idx"])
+
+
+def test_jvm_golden_nulls_and_longs(spark, tmp_path):
+    from pyspark.sql import functions as F
+    df = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "user_id",
+                  F.when(F.col("value") > 50, F.col("props")).alias("p_null"),
+                  F.when(F.col("value") > 30, F.col("event_id"))
+                   .alias("id_null"),
+                  "value"))
+    got = _spark_golden(spark, df, str(tmp_path / "g_nulls"), "zlib")
+    _assert_frames_equal(got, df, ["event_id"])
+
+
+def test_read_orc_files_distributed(spark, tmp_path):
+    """binaryFile + mapInArrow path: decode happens on executors, result
+    equals the source; projection pushes into the native decoder."""
+    from goorc_spark import transcripts
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "dist")
+    df.repartition(3).write.mode("overwrite") \
+        .option("compression", "zlib").orc(path)
+    back = on.read_orc_files(spark, path + "/*.orc")
+    assert back.count() == df.count()
+    _assert_frames_equal(
+        pa.Table.from_pandas(back.toPandas(), preserve_index=False),
+        df, ["conv_id", "turn_idx"])
+    proj = on.read_orc_files(spark, path + "/*.orc",
+                             columns=["conv_id", "text"])
+    assert proj.columns == ["conv_id", "text"]
+    assert proj.count() == df.count()

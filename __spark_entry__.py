@@ -103,6 +103,32 @@ def _orc_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orc_native.read_orc_files(spark, path + "/*.orc")
 
 
+def _run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-run aggregate column statistics (reference file-footer stats,
+    orc/writer.go:140-177): rolled up from per-stripe col_stats meta —
+    blobs never read — and checked cell-for-cell against DuckDB
+    aggregating the source table."""
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    stripes = engine.encode_df(df, _encode_cfg())
+    return engine.run_stats(stripes).withColumnRenamed("column", "col_name")
+
+
+def _row_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute row-number seek (reference Seek(rowNumber),
+    orc/reader.go:199-212): under a range-partitioned, order-sorted encode
+    the global stripe order IS ORDER BY (conv_id, turn_idx), so rows
+    [234, 876) of the stripe table must equal the oracle's
+    LIMIT 642 OFFSET 234 over the sorted source."""
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              range_partition=True, partitions=4,
+                              rg_rows=100, stripe_bytes=256 * 1024,
+                              run_id="seek")
+    stripes = engine.encode_df(df, cfg)
+    return engine.read_rows_at(stripes, transcripts.TRANSCRIPTS_SPEC,
+                               234, 876)
+
+
 def _decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-layer column pruning: only the requested columns' streams
     are decompressed (reference BatchOption.Includes, orc/stripe.go:250)."""
@@ -296,9 +322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "point_lookup_hash": _point_lookup_hash,
+        "row_seek": _row_seek,
         "compact_roundtrip": _compact_roundtrip,
         "range_scan": _range_scan,
         "encode_lineage": _encode_lineage,
+        "run_stats": _run_stats,
         "stream_conv_stats": _stream_conv_stats,
         "stream_window_stats": _stream_window_stats,
         # -- dedup --------------------------------------------------------
@@ -560,6 +588,37 @@ HAVING window_end <= (SELECT max(ts) FROM t) - INTERVAL 2 HOUR
         "point_lookup_hash": (
             f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
             "WHERE conv_id = 'conv-00000001' AND turn_idx BETWEEN 2 AND 10"
+        ),
+        "run_stats": f"""
+WITH t AS ({transcripts.ORACLE_SQL}),
+s AS (
+  SELECT 'conv_id' AS col_name, conv_id AS sv, CAST(NULL AS BIGINT) AS lv,
+         CAST(NULL AS BIGINT) AS micros FROM t
+  UNION ALL SELECT 'role', role, NULL, NULL FROM t
+  UNION ALL SELECT 'text', text, NULL, NULL FROM t
+  UNION ALL SELECT 'tool', tool, NULL, NULL FROM t
+  UNION ALL SELECT 'turn_idx', NULL, CAST(turn_idx AS BIGINT), NULL FROM t
+  UNION ALL SELECT 'ts', NULL, NULL, epoch_us(ts) FROM t
+)
+SELECT col_name,
+       CAST(count(coalesce(sv, CAST(lv AS VARCHAR),
+                           CAST(micros AS VARCHAR))) AS BIGINT) AS n_values,
+       CAST(count(*) - count(coalesce(sv, CAST(lv AS VARCHAR),
+                             CAST(micros AS VARCHAR))) AS BIGINT)
+         AS null_count,
+       CAST(coalesce(min(lv), min(micros)) AS BIGINT) AS min_long,
+       CAST(coalesce(max(lv), max(micros)) AS BIGINT) AS max_long,
+       CAST(sum(lv) AS BIGINT) AS sum_long,
+       CAST(NULL AS DOUBLE) AS min_dbl,
+       CAST(NULL AS DOUBLE) AS max_dbl,
+       CAST(NULL AS DOUBLE) AS sum_dbl,
+       min(sv) AS min_str, max(sv) AS max_str,
+       CAST(sum(strlen(sv)) AS BIGINT) AS bytes_sum
+FROM s GROUP BY col_name
+""",
+        "row_seek": (
+            f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
+            "ORDER BY conv_id, turn_idx LIMIT 642 OFFSET 234"
         ),
         "compact_roundtrip": transcripts.ORACLE_SQL,
         "range_scan": "SELECT * FROM events WHERE value BETWEEN 10.0 AND 50.0",

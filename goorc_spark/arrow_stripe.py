@@ -186,6 +186,7 @@ def encode_stripe_table(
             "compression": compression,
             "chunk_size": chunk_size,
             "columns": cols_meta,
+            "col_stats": stripe_col_stats(table, spec),
             "crc32": zlib.crc32(bytes(blob)),
         }
         return bytes(blob), meta
@@ -251,9 +252,68 @@ def encode_stripe_table(
         "compression": compression,
         "chunk_size": chunk_size,
         "row_groups": groups,
+        "col_stats": stripe_col_stats(table, spec),
         "crc32": zlib.crc32(bytes(blob)),
     }
     return bytes(blob), meta
+
+
+_INT_STAT_KINDS = {"byte", "short", "int", "long"}
+
+
+def stripe_col_stats(table: pa.Table, spec: list[dict]) -> dict:
+    """Whole-stripe per-column statistics — the engine's analog of the
+    reference's file-footer ColumnStatistics rollup
+    (/root/reference/orc/writer.go:140-177): n/nulls always; typed min/max
+    for orderable scalars (timestamps as epoch-micros, dates as days,
+    decimals as strings); sum for integer kinds (bool: true-count); byte
+    totals for string/binary. String min/max is recorded only when the
+    column's stripe bytes stay under 32 B/value (ids, roles, tags) — a
+    whole-stripe min_max over free text buys stats nobody probes at real
+    encode cost (the same measured trade as the row-group ranges), so
+    `engine.run_stats` surfaces a string bound only when EVERY stripe
+    recorded one. Nested kinds carry n/nulls only."""
+    out: dict = {}
+    for col in spec:
+        arr = table.column(col["name"])
+        kind = col["kind"]
+        n_all = len(arr)
+        nulls = arr.null_count
+        st: dict = {"n": n_all - nulls, "nulls": nulls}
+        out[col["name"]] = st
+        if n_all == nulls:
+            continue
+        if kind in _INT_STAT_KINDS:
+            mm = pc.min_max(arr)
+            st["min"] = mm["min"].as_py()
+            st["max"] = mm["max"].as_py()
+            st["sum"] = int(pc.sum(arr).as_py())
+        elif kind == "bool":
+            st["sum"] = int(pc.sum(arr.cast(pa.int64())).as_py())
+        elif kind in ("float", "double"):
+            mm = pc.min_max(arr)
+            st["min"] = float(mm["min"].as_py())
+            st["max"] = float(mm["max"].as_py())
+            st["sum"] = float(pc.sum(arr).as_py())
+        elif kind in ("timestamp", "timestamp_ntz", "date"):
+            mm = pc.min_max(arr)
+            st["min"] = int(mm["min"].value)
+            st["max"] = int(mm["max"].value)
+        elif kind == "decimal":
+            mm = pc.min_max(arr)
+            st["min"] = str(mm["min"].as_py())
+            st["max"] = str(mm["max"].as_py())
+        elif kind in ("string", "binary"):
+            nb = int(pc.sum(pc.binary_length(arr)).as_py())
+            st["bytes"] = nb
+            if nb <= 32 * (n_all - nulls):
+                mm = pc.min_max(arr)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if kind == "binary":
+                    lo, hi = lo.hex(), hi.hex()
+                st["min"] = lo
+                st["max"] = hi
+    return out
 
 
 def _strip_diagnostics(cols_meta: list[dict]) -> None:

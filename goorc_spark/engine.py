@@ -113,6 +113,9 @@ class EncodeConfig:
     order_cols: tuple = ()                 # stable intra-key order (turn_idx)
     salt_threshold: int = 500_000          # rows per key before salting kicks in
     bucket_rows: int = 250_000             # rows per salt bucket
+    salt_detect: str = "auto"              # skew pre-pass: exact | sample | auto
+                                           # (auto = 1% sample above
+                                           # SALT_SAMPLE_BYTES of input)
     range_partition: bool = False          # range-cluster by key (narrow stripe
                                            # key ranges -> prune_stripes works)
     rg_rows: int = 10_000                  # row-group stride: intra-stripe seek
@@ -312,13 +315,46 @@ def _make_encoder(spec: list[dict], cfg: EncodeConfig):
     return encode_stripes
 
 
+SALT_SAMPLE_BYTES = 256 * 1024 * 1024
+SALT_SAMPLE_FRACTION = 0.01
+
+
+def _skew_detection_mode(df: DataFrame, cfg: EncodeConfig) -> str:
+    """'exact' (full groupBy-count pre-pass) or 'sample' (1% sample —
+    ~100x cheaper; a key at salt_threshold shows ~threshold*fraction
+    sampled rows, flagged at half that to bias recall: over-salting
+    splits a key into deterministic buckets anyway, under-salting is the
+    only harmful direction). Auto switches on Catalyst's input-size
+    estimate so small inputs keep the exact pass (SCALE.md: at 10^9 convs
+    the exact pre-pass is ~30s per encode; the sample is seconds)."""
+    if cfg.salt_detect != "auto":
+        return cfg.salt_detect
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:
+        return "exact"
+    return "sample" if size > SALT_SAMPLE_BYTES else "exact"
+
+
+def _skew_counts(df: DataFrame, cfg: EncodeConfig, mode: str) -> DataFrame:
+    """Frame of keys exceeding salt_threshold under the chosen mode
+    (separate from _with_salt so tests can plan-assert the Sample node)."""
+    key = cfg.key_col
+    if mode == "sample":
+        frac = SALT_SAMPLE_FRACTION
+        return (df.sample(fraction=frac, seed=7).groupBy(key).count()
+                .filter(F.col("count") > cfg.salt_threshold * frac * 0.5))
+    return df.groupBy(key).count().filter(F.col("count") > cfg.salt_threshold)
+
+
 def _with_salt(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     """Split mega-keys into deterministic buckets of bucket_rows using the
     (monotone-per-key) first order column — no window, one cheap agg."""
     key = cfg.key_col
     if not key or not cfg.order_cols:
         return df.withColumn(SALT_COL, F.lit(0))
-    counts = df.groupBy(key).count().filter(F.col("count") > cfg.salt_threshold)
+    counts = _skew_counts(df, cfg, _skew_detection_mode(df, cfg))
     skewed = [r[0] for r in counts.select(key).collect()]  # mega-keys only: tiny
     if not skewed:
         return df.withColumn(SALT_COL, F.lit(0))
@@ -586,6 +622,161 @@ def read_where(stripes: DataFrame, spec: list[dict], col: str | None = None,
         if chi is not None:
             cond = cond & (F.col(c) <= F.lit(chi))
     return out.filter(cond)
+
+
+def read_rows_at(stripes: DataFrame, spec: list[dict] | None,
+                 row_lo: int, row_hi: int,
+                 columns: list[str] | None = None) -> DataFrame:
+    """Absolute row-number seek — the reference's third public entry point,
+    `Seek(rowNumber)` (/root/reference/orc/reader.go:199-212: cumulative
+    stripe rows -> stride -> skip), over the stripe table: returns global
+    rows [row_lo, row_hi) where global order is stripes ordered by
+    (part_id, seq) with stored row order inside each stripe. Under a
+    range-partitioned, order-sorted encode that equals ORDER BY
+    (key, *order_cols) over the source.
+
+    Plan: (1) a prefix-sum window over LINEAGE columns only — one row per
+    stripe, blobs never read (at 10^12 turns / 256 MB stripes that is
+    ~300k metadata rows through a single-partition window: bounded, and
+    the blob column is pruned from the scan); (2) covering stripes join
+    back by stripe_id (broadcast — a seek touches few stripes); (3) inside
+    each stripe, row-group prefix sums pick covering groups, only their
+    streams decompress, and the exact slice is cut from the decoded
+    batch."""
+    from pyspark.sql import Window
+
+    if spec is None:
+        spec = spec_from_stripes(stripes)
+    if columns is not None:
+        spec = [c for c in spec if c["name"] in columns]
+    out_schema = schema_from_spec(spec)
+    if row_hi <= row_lo:
+        return decode_df(stripes.limit(0), spec, columns=columns)
+    w = (Window.orderBy("part_id", "seq")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    bounds = (stripes.select("stripe_id", "part_id", "seq", "n_rows")
+              .withColumn("row_start",
+                          F.coalesce(F.sum("n_rows").over(w), F.lit(0)))
+              .filter((F.col("row_start") < row_hi)
+                      & (F.col("row_start") + F.col("n_rows") > row_lo))
+              .select("stripe_id", "row_start"))
+    sel = stripes.join(F.broadcast(bounds), "stripe_id")
+    include = [c["name"] for c in spec] if columns is not None else None
+    tz = stripes.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def decode_slices(batches):
+        from goorc_spark import arrow_stripe
+
+        for rb in batches:
+            metas = rb.column("meta").to_pylist()
+            blobs = rb.column("blob")
+            starts = rb.column("row_start").to_pylist()
+            ns = rb.column("n_rows").to_pylist()
+            for i, meta_json in enumerate(metas):
+                meta = json.loads(meta_json)
+                slo = max(0, row_lo - starts[i])
+                shi = min(ns[i], row_hi - starts[i])
+                groups = meta.get("row_groups")
+                rg_sel, first_off = None, 0
+                if groups:
+                    p, rg_sel = 0, []
+                    for j, g in enumerate(groups):
+                        if p < shi and p + g["n_rows"] > slo:
+                            if not rg_sel:
+                                first_off = p
+                            rg_sel.append(j)
+                        p += g["n_rows"]
+                out = arrow_stripe.decode_stripe_batch(
+                    blobs[i].as_py(), meta, tz=tz, include=include,
+                    rg_sel=rg_sel)
+                yield out.slice(slo - first_off, shi - slo)
+
+    return (sel.select("meta", "blob", "row_start", "n_rows")
+            .mapInArrow(decode_slices, schema=out_schema))
+
+
+RUN_STATS_SCHEMA = ("column string, n_values bigint, null_count bigint, "
+                    "min_long bigint, max_long bigint, sum_long bigint, "
+                    "min_dbl double, max_dbl double, sum_dbl double, "
+                    "min_str string, max_str string, bytes_sum bigint, "
+                    "has_str_bounds int")
+
+
+def run_stats(stripes: DataFrame) -> DataFrame:
+    """Whole-run per-column statistics rolled up from each stripe's
+    `col_stats` meta — the reference's file-footer aggregate statistics
+    (/root/reference/orc/writer.go:140-177) over the stripe table. Pure
+    metadata: only the `meta` JSON column is scanned, blobs are pruned.
+
+    One row per column: n_values/null_count always; typed min/max/sum
+    slots (longs for integer kinds — timestamps as epoch-micros, dates as
+    days; doubles for floats; strings for string/binary/decimal; sum_long
+    for bool = true count; bytes_sum = total string/binary payload).
+    String bounds are NULL unless EVERY stripe recorded one (long free
+    text skips per-stripe bounds; see arrow_stripe.stripe_col_stats)."""
+
+    def expand(batches):
+        import pyarrow as pa
+
+        names = [f.split(" ")[0] for f in RUN_STATS_SCHEMA.split(", ")]
+        for rb in batches:
+            rows: dict = {k: [] for k in names}
+            for meta_json in rb.column("meta").to_pylist():
+                for name, st in (json.loads(meta_json).get("col_stats")
+                                 or {}).items():
+                    mn, mx, sm = st.get("min"), st.get("max"), st.get("sum")
+                    is_int = isinstance(mn, int) and not isinstance(mn, bool)
+                    rows["column"].append(name)
+                    rows["n_values"].append(st["n"])
+                    rows["null_count"].append(st["nulls"])
+                    rows["min_long"].append(mn if is_int else None)
+                    rows["max_long"].append(mx if is_int else None)
+                    rows["sum_long"].append(sm if isinstance(sm, int) else None)
+                    rows["min_dbl"].append(mn if isinstance(mn, float) else None)
+                    rows["max_dbl"].append(mx if isinstance(mx, float) else None)
+                    rows["sum_dbl"].append(sm if isinstance(sm, float) else None)
+                    rows["min_str"].append(mn if isinstance(mn, str) else None)
+                    rows["max_str"].append(mx if isinstance(mx, str) else None)
+                    rows["bytes_sum"].append(st.get("bytes"))
+                    rows["has_str_bounds"].append(
+                        0 if ("bytes" in st and mn is None and st["n"])
+                        else 1)
+            yield pa.RecordBatch.from_pydict(
+                {"column": pa.array(rows["column"], pa.string()),
+                 "n_values": pa.array(rows["n_values"], pa.int64()),
+                 "null_count": pa.array(rows["null_count"], pa.int64()),
+                 "min_long": pa.array(rows["min_long"], pa.int64()),
+                 "max_long": pa.array(rows["max_long"], pa.int64()),
+                 "sum_long": pa.array(rows["sum_long"], pa.int64()),
+                 "min_dbl": pa.array(rows["min_dbl"], pa.float64()),
+                 "max_dbl": pa.array(rows["max_dbl"], pa.float64()),
+                 "sum_dbl": pa.array(rows["sum_dbl"], pa.float64()),
+                 "min_str": pa.array(rows["min_str"], pa.string()),
+                 "max_str": pa.array(rows["max_str"], pa.string()),
+                 "bytes_sum": pa.array(rows["bytes_sum"], pa.int64()),
+                 "has_str_bounds": pa.array(rows["has_str_bounds"],
+                                            pa.int32())})
+
+    long_rows = stripes.select("meta").mapInArrow(expand, RUN_STATS_SCHEMA)
+    agg = long_rows.groupBy("column").agg(
+        F.sum("n_values").alias("n_values"),
+        F.sum("null_count").alias("null_count"),
+        F.min("min_long").alias("min_long"),
+        F.max("max_long").alias("max_long"),
+        F.sum("sum_long").alias("sum_long"),
+        F.min("min_dbl").alias("min_dbl"),
+        F.max("max_dbl").alias("max_dbl"),
+        F.sum("sum_dbl").alias("sum_dbl"),
+        F.min("min_str").alias("_min_str"),
+        F.max("max_str").alias("_max_str"),
+        F.sum("bytes_sum").alias("bytes_sum"),
+        F.min("has_str_bounds").alias("_complete"))
+    return agg.select(
+        "column", "n_values", "null_count", "min_long", "max_long",
+        "sum_long", "min_dbl", "max_dbl", "sum_dbl",
+        F.when(F.col("_complete") == 1, F.col("_min_str")).alias("min_str"),
+        F.when(F.col("_complete") == 1, F.col("_max_str")).alias("max_str"),
+        "bytes_sum")
 
 
 # ---------------------------------------------------------------- lineage --

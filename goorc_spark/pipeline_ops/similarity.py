@@ -153,11 +153,16 @@ def pairwise_topk_per_label_lsh(embeddings: DataFrame, k: int = 3,
                 .filter(F.col("rk") <= k).drop("rk")
 
 
-def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3) -> DataFrame:
+def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
+                            force: bool = False) -> DataFrame:
     """For each label, the k most-similar same-label pairs — a bounded
     self-join (per-label) + window top-k; the pattern for near-dup mining
     inside pre-bucketed groups. One hot label still becomes one quadratic
-    task — use pairwise_topk_per_label_lsh for skewed label distributions."""
+    task — use pairwise_topk_per_label_lsh for skewed label distributions.
+    Guarded above EXACT_BASELINE_MAX rows unless `force=True`."""
+    from goorc_spark.pipeline_ops.dedup import _guard_exact_baseline
+    _guard_exact_baseline(embeddings, "pairwise_topk_per_label",
+                          "pairwise_topk_per_label_lsh", force)
     a = embeddings.alias("a")
     b = embeddings.alias("b")
     pairs = a.join(b, (F.col("a.label") == F.col("b.label"))

@@ -152,3 +152,38 @@ def test_components_transitive_chain(spark):
     keep = {r.doc_id for r in
             dedup.dedup_keep(docs, n=3, threshold=0.6).collect()}
     assert keep == {1, 4}
+
+
+def test_exact_baseline_guards(spark):
+    """VERDICT r2 #4: the quadratic baselines refuse large inputs unless
+    forced; the LSH twins stay the path of least resistance."""
+    import pytest
+    from pyspark.sql import functions as F
+    from goorc_spark.pipeline_ops import dedup, similarity
+
+    big = spark.range(dedup.EXACT_BASELINE_MAX + 10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        (F.col("id") % 3).alias("label"))
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        dedup.embedding_near_dup(big)
+    with pytest.raises(ValueError, match="pairwise_topk_per_label_lsh"):
+        similarity.pairwise_topk_per_label(big)
+    # force=True bypasses (plan only — don't execute the cartesian)
+    dedup.embedding_near_dup(big, force=True)
+    similarity.pairwise_topk_per_label(big, force=True)
+    # small inputs pass the guard and still run
+    small = big.limit(50)
+    assert dedup.embedding_near_dup(small, threshold=0.99).count() >= 0
+    assert similarity.pairwise_topk_per_label(small, k=1).count() >= 0
+
+
+def test_components_pair_source_routing(spark):
+    from goorc_spark.pipeline_ops import dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(60)
+    exact = dedup.dedup_components(docs, pair_source="exact")
+    lsh = dedup.dedup_components(docs, pair_source="lsh")
+    auto = dedup.dedup_components(docs)  # small -> exact
+    assert exact.count() == lsh.count() == auto.count() == 60
+    assert sorted(exact.collect()) == sorted(auto.collect())

@@ -167,3 +167,39 @@ def test_media_resize_plumbing(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="imaging"):
         multimodal.resize(media, fake=False).collect()
+
+
+def test_skew_detection_modes(spark):
+    """ADVICE/VERDICT r2: the skew pre-pass defaults to a 1%-sample
+    estimate above SALT_SAMPLE_BYTES instead of a full groupBy-count on
+    every encode. Small inputs keep the exact pass; sample mode's plan
+    carries a Sample node and still catches the mega-key."""
+    pdf = transcripts.synthesize_pandas(n_convs=30, seed=7,
+                                        mega_conv_turns=20_000)
+    sdf = spark.createDataFrame(
+        pdf, schema=engine.schema_from_spec(transcripts.TRANSCRIPTS_SPEC))
+    c = cfg(salt_threshold=1000, bucket_rows=500, partitions=8)
+    # auto on a small in-memory frame -> exact (no Sample in the plan)
+    assert engine._skew_detection_mode(sdf, c) == "exact"
+    exact_plan = engine._skew_counts(sdf, c, "exact") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Sample" not in exact_plan
+    sample_plan = engine._skew_counts(sdf, c, "sample") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Sample" in sample_plan
+    # the 20k-turn mega conversation is flagged by the 1% sample
+    # (expected ~200 sampled rows vs the 1000*0.01*0.5 = 5-row cutoff)
+    flagged = [r[0] for r in engine._skew_counts(sdf, c, "sample")
+               .select("conv_id").collect()]
+    assert "conv-00000000" in flagged
+    # forced sample mode still salts + round-trips bit-identically
+    c2 = cfg(salt_threshold=1000, bucket_rows=500, partitions=8,
+             salt_detect="sample")
+    stripes = engine.encode_df(sdf, c2).cache()
+    parts = {r["part_id"] for r in stripes.filter(
+        "key_min <= 'conv-00000000' and key_max >= 'conv-00000000'")
+        .select("part_id").collect()}
+    assert len(parts) > 1
+    decoded = engine.decode_df(stripes, transcripts.TRANSCRIPTS_SPEC)
+    assert decoded.count() == len(pdf)
+    stripes.unpersist()

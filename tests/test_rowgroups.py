@@ -310,3 +310,64 @@ def test_decimal_key_bounds_compare_numerically():
     sel = arrow_stripe.select_row_groups(
         meta, key_lo=decimal.Decimal("9.00"), key_hi=decimal.Decimal("11.00"))
     assert len(sel) == 1
+
+
+def test_read_rows_at_absolute_seek(spark):
+    """reference Seek(rowNumber) parity (orc/reader.go:199-212): global
+    slice [lo, hi) over range-partitioned order-sorted stripes equals the
+    sorted source slice."""
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              range_partition=True, partitions=3,
+                              rg_rows=100, stripe_bytes=64 * 1024,
+                              run_id="seekpt")
+    stripes = engine.encode_df(df, cfg)
+    src = df.orderBy("conv_id", "turn_idx").collect()
+    for lo, hi in ((0, 10), (123, 456), (990, 1000), (995, 5000)):
+        got = engine.read_rows_at(stripes, transcripts.TRANSCRIPTS_SPEC,
+                                  lo, hi)
+        rows = sorted(got.collect(), key=lambda r: (r.conv_id, r.turn_idx))
+        want = src[lo:hi]
+        assert [(r.conv_id, r.turn_idx, r.text) for r in rows] == \
+            [(r.conv_id, r.turn_idx, r.text) for r in want], (lo, hi)
+    # degenerate + beyond-end ranges
+    assert engine.read_rows_at(stripes, transcripts.TRANSCRIPTS_SPEC,
+                               50, 50).count() == 0
+    assert engine.read_rows_at(stripes, transcripts.TRANSCRIPTS_SPEC,
+                               2_000_000, 2_000_100).count() == 0
+    # projection decodes only requested columns
+    proj = engine.read_rows_at(stripes, transcripts.TRANSCRIPTS_SPEC,
+                               10, 20, columns=["conv_id", "text"])
+    assert proj.columns == ["conv_id", "text"] and proj.count() == 10
+
+
+def test_stripe_col_stats_and_run_stats(spark):
+    """Per-run stats rollup (reference file-footer stats,
+    orc/writer.go:140-177): typed per-column aggregates from meta only."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    pdf = pd.DataFrame({
+        "k": [f"k{i:04d}" for i in range(1000)],
+        "i": np.arange(1000),
+        "f": np.linspace(-1.0, 1.0, 1000),
+        "b": [True, False] * 500,
+        "s_null": pd.array([None] * 1000, dtype="string"),
+        "long_text": ["word " * 20 + str(i) for i in range(1000)],
+    })
+    df = spark.createDataFrame(pdf)
+    cfg = engine.EncodeConfig(key_col="k", order_cols=("i",),
+                              stripe_bytes=64 * 1024, partitions=3,
+                              run_id="cst")
+    rs = {r["column"]: r for r in
+          engine.run_stats(engine.encode_df(df, cfg)).collect()}
+    assert rs["i"]["min_long"] == 0 and rs["i"]["max_long"] == 999
+    assert rs["i"]["sum_long"] == 999 * 1000 // 2
+    assert rs["f"]["min_dbl"] == -1.0 and rs["f"]["max_dbl"] == 1.0
+    assert abs(rs["f"]["sum_dbl"]) < 1e-9
+    assert rs["b"]["sum_long"] == 500  # true count
+    assert rs["s_null"]["n_values"] == 0 and rs["s_null"]["null_count"] == 1000
+    assert rs["k"]["min_str"] == "k0000" and rs["k"]["max_str"] == "k0999"
+    # >32 B/value strings skip bounds in every stripe -> NULL, bytes kept
+    assert rs["long_text"]["min_str"] is None
+    assert rs["long_text"]["bytes_sum"] == int(
+        pdf["long_text"].str.len().sum())

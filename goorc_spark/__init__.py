@@ -15,10 +15,12 @@ Layout
                             timestamps, zstd/zlib/lz4 chunk container)
 ``goorc_spark.stats``       per-chunk column statistics (feed the selector)
 ``goorc_spark.selector``    codec auto-selection rules
-``goorc_spark.stripe``      stripe assembly: pandas batch <-> blob + metadata
 ``goorc_spark.arrow_stripe`` Arrow-native stripe assembly (the engine's hot
-                            path; same wire format as ``stripe``), incl.
-                            nested struct/list/map columns
+                            path; wire format pinned by golden fixtures in
+                            ``tests/fixtures/``), incl. nested
+                            struct/list/map columns
+``goorc_spark.orc_native``  native ORC byte-format reader (real .orc files
+                            decoded by the repo's own codecs, no JVM)
 ``goorc_spark.engine``      Spark pipeline: partitioning, salting, encode,
                             decode, projection, pruning, lineage/resume
 ``goorc_spark.streaming``   Structured Streaming incremental encode,

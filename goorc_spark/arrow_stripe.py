@@ -38,7 +38,8 @@ from goorc_spark.codecs import (
     timestamps,
 )
 from goorc_spark.codecs.primitives import decode_svarints, encode_svarints
-from goorc_spark.stripe import FORMAT_VERSION
+
+FORMAT_VERSION = 1
 
 _PA_BY_KIND = {
     "byte": pa.int8(), "short": pa.int16(), "int": pa.int32(),
@@ -659,6 +660,11 @@ def _select_codec_arrow(contents: np.ndarray, st: dict, policy: str) -> str:
 # ----------------------------------------------------------------- decode --
 
 
+# Arrow MapArray offsets are int32 and no LargeMap type exists — a stripe
+# row-group whose map children total >= this cannot be materialized
+MAP_OFFSET_LIMIT = 1 << 31
+
+
 def _child_offsets(lengths: np.ndarray) -> tuple[np.ndarray, bool]:
     """List/map child offsets with int64 accumulation — an int32 cumsum
     would silently wrap when a stripe's child-element total exceeds 2^31
@@ -767,7 +773,10 @@ def _read_column(mv, col: dict, n_rows: int, comp: str,
                 vals = pa.ListArray.from_arrays(
                     pa.array(offsets64.astype(np.int32)), child)
         else:
-            if wide:
+            if offsets64[-1] >= MAP_OFFSET_LIMIT:
+                # lists get a LargeList fallback above int32 offsets; Arrow
+                # has no LargeMap, so this is a hard ceiling (documented in
+                # SCALE.md) — fail with the actionable re-encode hint
                 raise ValueError(
                     f"map column {col['name']!r} has {int(offsets64[-1])} "
                     "child entries "

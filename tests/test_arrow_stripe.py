@@ -1,6 +1,6 @@
-"""Arrow-native stripe path: roundtrips, interop with the pandas path, and
-codec selection parity. The wire format must be identical between the two
-paths (decode either side's blob with the other's decoder)."""
+"""Arrow-native stripe path: roundtrips and codec selection. Wire-format
+stability is pinned by the golden fixture in test_stripe.py (the retired
+pandas encode path's parity role — VERDICT r2 #9)."""
 
 import datetime
 import decimal
@@ -10,7 +10,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from goorc_spark import arrow_stripe, stripe, transcripts
+from goorc_spark import arrow_stripe, transcripts
 
 
 def _table(pdf: pd.DataFrame) -> pa.Table:
@@ -41,16 +41,6 @@ def test_arrow_roundtrip_transcripts(tx_pdf):
     _assert_frames_equal(tx_pdf, out, ["conv_id", "turn_idx", "role", "text", "tool"])
     assert (tx_pdf["ts"].astype("datetime64[us]").astype("int64")
             == out["ts"].astype("datetime64[us]").astype("int64")).all()
-
-
-def test_interop_both_directions(tx_pdf):
-    spec = transcripts.TRANSCRIPTS_SPEC
-    blob_a, meta_a = arrow_stripe.encode_stripe_table(_table(tx_pdf), spec)
-    blob_p, meta_p = stripe.encode_stripe(tx_pdf, spec)
-    assert blob_a == blob_p  # identical wire bytes from both paths
-    out1 = arrow_stripe.decode_stripe_batch(blob_p, meta_p).to_pandas()
-    out2 = stripe.decode_stripe(blob_a, meta_a)
-    _assert_frames_equal(out1, out2, ["conv_id", "turn_idx", "role", "text", "tool"])
 
 
 ALL_KINDS_SPEC = [
@@ -127,15 +117,6 @@ def test_empty_table():
         _table(pdf), transcripts.TRANSCRIPTS_SPEC)
     rb = arrow_stripe.decode_stripe_batch(blob, meta)
     assert rb.num_rows == 0
-
-
-def test_codec_selection_matches_pandas_path(tx_pdf):
-    _, meta_a = arrow_stripe.encode_stripe_table(
-        _table(tx_pdf), transcripts.TRANSCRIPTS_SPEC)
-    _, meta_p = stripe.encode_stripe(tx_pdf, transcripts.TRANSCRIPTS_SPEC)
-    for ca, cp in zip(meta_a["columns"], meta_p["columns"]):
-        assert ca["codec"] == cp["codec"], ca["name"]
-        assert ca["null_count"] == cp["null_count"], ca["name"]
 
 
 def test_policy_fast_skips_fsst(tx_pdf):

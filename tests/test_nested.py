@@ -224,3 +224,26 @@ def test_stateful_conv_stats_stream(spark, tmp_path):
     a = sorted(map(str, got.collect()))
     b = sorted(map(str, want.collect()))
     assert a == b
+
+
+def test_map_offset_ceiling_error_pinned(monkeypatch):
+    """Arrow has no LargeMap: a stripe whose map children total >= 2^31
+    must fail with the actionable re-encode hint (lists fall back to
+    LargeList instead). Pinned via a lowered ceiling — the real threshold
+    needs 2^31 child entries."""
+    import pyarrow as pa
+    import pytest
+    from goorc_spark import arrow_stripe
+
+    t = pa.table({"m": pa.array(
+        [[("a", 1), ("b", 2)], [("c", 3)]] * 50,
+        type=pa.map_(pa.utf8(), pa.int64()))})
+    spec = [{"name": "m", "kind": "map",
+             "key": {"name": "key", "kind": "string"},
+             "value": {"name": "value", "kind": "long"}}]
+    blob, meta = arrow_stripe.encode_stripe_table(t, spec)
+    # sanity: decodes fine at the real ceiling
+    assert arrow_stripe.decode_stripe_batch(blob, meta).num_rows == 100
+    monkeypatch.setattr(arrow_stripe, "MAP_OFFSET_LIMIT", 100)
+    with pytest.raises(ValueError, match="re-encode with a smaller"):
+        arrow_stripe.decode_stripe_batch(blob, meta)

@@ -509,6 +509,53 @@ def main() -> None:
         for name, fn in pipeline.items():
             sec, _ = timed(fn)
             queries[name] = round(sec, 3)
+
+        # ---- dedup growth leg (VERDICT r2 #10): the bucketed dedup paths
+        # at 10x input (sf1-equivalent). The 10x corpus is synthesized
+        # deterministically from the sf documents: copy i Caesar-rotates
+        # [a-z] by i, so each copy keeps the EXACT within-copy near-dup
+        # structure (shingle sets are isomorphic under the substitution)
+        # while cross-copy similarity is ~0 — duplicate RATE stays constant
+        # as the corpus grows, which is what makes wall-clock growth
+        # interpretable. Expect ~linear for the LSH paths.
+        if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+            alpha = "abcdefghijklmnopqrstuvwxyz"
+            copies = []
+            for i in range(10):
+                rot = alpha[i:] + alpha[:i]
+                copies.append(docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.translate(F.lower(F.col("text")), alpha, rot)
+                     .alias("text"),
+                    *[c for c in docs.columns
+                      if c not in ("doc_id", "text")]))
+            docs10 = copies[0]
+            for c in copies[1:]:
+                docs10 = docs10.unionByName(c)
+            docs10 = docs10.cache()
+            n10 = docs10.count()
+            growth = {}
+            for name, one_x, ten_x in (
+                ("dedup_minhash_lsh",
+                 lambda: dedup.minhash_lsh_pairs(docs).count(),
+                 lambda: dedup.minhash_lsh_pairs(docs10).count()),
+                ("dedup_keep_lsh",
+                 lambda: dedup.dedup_keep_lsh(docs).count(),
+                 lambda: dedup.dedup_keep_lsh(docs10).count()),
+                ("dedup_decontaminate",
+                 lambda: dedup.decontaminate(
+                     docs, docs.filter("doc_id % 17 = 0"), n=32).count(),
+                 lambda: dedup.decontaminate(
+                     docs10, docs10.filter("doc_id % 17 = 0"),
+                     n=32).count()),
+            ):
+                s1, _ = timed(one_x)
+                s10, _ = timed(ten_x)
+                growth[name] = {"x1_sec": round(s1, 3),
+                                "x10_sec": round(s10, 3),
+                                "growth": round(s10 / max(s1, 1e-9), 2)}
+            extras["dedup_growth"] = {"x10_rows": n10, "legs": growth}
+            docs10.unpersist()
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)

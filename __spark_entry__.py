@@ -129,6 +129,20 @@ def _row_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
                                234, 876)
 
 
+def _orc_native_read_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripe-granular native scan (the big-file scale path): ONE
+    JVM-written snappy ORC file with many small stripes -> driver reads
+    only the tail, each (file, stripe) byte range decodes as its own task
+    (orc_native.read_orc_stripes). Also exercises native snappy chunk
+    decode (Spark's ORC default codec)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = "/tmp/goorc_orc_split_" + sf_dir.strip("/").replace("/", "_")
+    (ev.coalesce(1).write.mode("overwrite")
+       .option("compression", "snappy")
+       .option("orc.stripe.size", str(256 * 1024)).orc(path))
+    return orc_native.read_orc_stripes(spark, path + "/*.orc")
+
+
 def _orc_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ORC WRITE path (r3, beyond the r2 ask): events -> real `.orc`
     bytes serialized by the repo's own codecs + protobuf wire encoder
@@ -335,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _orc_roundtrip,
         "orc_native_read": _orc_native_read,
         "orc_native_write": _orc_native_write,
+        "orc_native_read_split": _orc_native_read_split,
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "point_lookup_hash": _point_lookup_hash,
@@ -575,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": "SELECT * FROM events",
         "orc_native_read": "SELECT * FROM events",
         "orc_native_write": "SELECT * FROM events",
+        "orc_native_read_split": "SELECT * FROM events",
         "encode_lineage": """
 SELECT count(*) AS total_rows, TRUE AS ids_unique, TRUE AS enc_positive,
        TRUE AS raw_positive, TRUE AS seq_contiguous

@@ -127,14 +127,51 @@ def test_multi_stripe_jvm(spark, tmp_path):
     assert sorted(got.column("id").to_pylist()) == list(range(150_000))
 
 
-def test_snappy_rejected_clearly():
-    # data must actually compress — tiny inputs are stored as "original"
-    # chunks, which decode fine under any codec
-    t = pa.table({"a": pa.array(list(range(50_000)) * 4)})
+def test_snappy_zstd_native_read():
+    """snappy chunks carry their size as a leading varint, zstd in the
+    frame header — both decode natively (snappy is Spark's ORC default)."""
+    t = pa.table({"a": pa.array(list(range(50_000)) * 4),
+                  "s": pa.array([f"v{i % 13}" for i in range(200_000)])})
+    for comp in ("snappy", "zstd"):
+        buf = io.BytesIO()
+        po.write_table(t, buf, compression=comp)
+        assert on.read_orc(buf.getvalue()).cast(t.schema).equals(t), comp
+
+
+def test_lz4_rejected_clearly():
+    # this pyarrow build stores lz4 ORC chunks as "original" (which
+    # legitimately decode), so pin the rejection at the chunk layer with a
+    # hand-built compressed chunk
+    comp = bytes(pa.Codec("lz4").compress(b"abc" * 1000))
+    h = len(comp) << 1  # original bit clear -> a real compressed chunk
+    stream = bytes((h & 255, (h >> 8) & 255, (h >> 16) & 255)) + comp
+    with pytest.raises(NotImplementedError, match="LZO/LZ4"):
+        on._decompress(stream, on.COMP_LZ4)
+    # files whose lz4 chunks are all "original" decode fine
+    t = pa.table({"s": pa.array([f"common-prefix-padding-{i}"
+                                 for i in range(10_000)])})
     buf = io.BytesIO()
-    po.write_table(t, buf, compression="snappy")
-    with pytest.raises(NotImplementedError, match="ZLIB or NONE"):
-        on.read_orc(buf.getvalue())
+    po.write_table(t, buf, compression="lz4")
+    assert on.read_orc(buf.getvalue()).cast(t.schema).equals(t)
+
+
+def test_read_orc_stripes_splittable(spark, tmp_path):
+    """Stripe-granular scan: ONE file, many tasks — parallelism equals
+    stripes, each task reads only its byte range (tail-only driver read)."""
+    from pyspark.sql import functions as F
+    df = (spark.range(150_000)
+          .select(F.col("id"), (F.col("id") % 97).cast("string").alias("s"),
+                  (F.rand(7) * 100).alias("v")).coalesce(1))
+    path = str(tmp_path / "split")
+    (df.write.mode("overwrite").option("compression", "snappy")
+       .option("orc.stripe.size", str(256 * 1024)).orc(path))
+    back = on.read_orc_stripes(spark, path + "/*.orc")
+    assert back.rdd.getNumPartitions() > 4  # one task per stripe
+    assert back.count() == 150_000
+    assert sorted(r[0] for r in back.select("id").collect()) == \
+        list(range(150_000))
+    proj = on.read_orc_stripes(spark, path + "/*.orc", columns=["s"])
+    assert proj.columns == ["s"] and proj.count() == 150_000
 
 
 # ------------------------------------------------------- JVM-writer goldens

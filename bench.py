@@ -436,6 +436,25 @@ def main() -> None:
         extras["decode"] = {"turns": decoded,
                             "turns_per_sec": round(decoded / sec)}
 
+        # native ORC byte-format path (r3): write + read real .orc with the
+        # repo's own codecs (no JVM ORC), and the JVM reader on the same
+        # native-written files as the interop comparison point
+        from goorc_spark import orc_native
+        orc_dir = f"{tmp}/orc_native"
+        nsec, _ = timed(lambda: orc_native.write_orc_files(
+            df.repartition(CPUS), orc_dir))
+        queries["orc_native_write"] = round(nsec, 3)
+        rsec, nrows = timed(lambda: orc_native.read_orc_files(
+            spark, orc_dir + "/*.orc").count())
+        queries["orc_native_read"] = round(rsec, 3)
+        jsec, jrows = timed(lambda: spark.read.orc(orc_dir).count())
+        queries["orc_jvm_read_same_files"] = round(jsec, 3)
+        extras["orc_native"] = {
+            "rows": nrows, "write_turns_per_sec": round(n_turns / nsec),
+            "read_turns_per_sec": round(nrows / rsec),
+            "jvm_read_turns_per_sec": round(jrows / max(jsec, 1e-9)),
+        }
+
         # point read through the row-group index at a PRODUCTION stripe
         # shape (few big sorted stripes, 2k-row groups): stripe prune ->
         # row-group prune -> exact filter, vs decoding the same big stripes

@@ -143,6 +143,23 @@ def _orc_native_read_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orc_native.read_orc_stripes(spark, path + "/*.orc")
 
 
+def _orc_native_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripe-statistics predicate pushdown on real ORC bytes: events
+    sorted by value -> one file, many stripes; the value-range predicate
+    prunes stripes from the file's StripeStatistics metadata before any
+    task exists, then the exact Catalyst filter refines the superset
+    (reference stats-based seek/skip, orc/stripe.go:369-388)."""
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = "/tmp/goorc_orc_push_" + sf_dir.strip("/").replace("/", "_")
+    (ev.orderBy("value").coalesce(1).write.mode("overwrite")
+       .option("compression", "zlib")
+       .option("orc.stripe.size", str(256 * 1024)).orc(path))
+    got = orc_native.read_orc_stripes(spark, path + "/*.orc",
+                                      predicate={"value": (10.0, 50.0)})
+    return got.filter((F.col("value") >= 10.0) & (F.col("value") <= 50.0))
+
+
 def _orc_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ORC WRITE path (r3, beyond the r2 ask): events -> real `.orc`
     bytes serialized by the repo's own codecs + protobuf wire encoder
@@ -350,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_native_read": _orc_native_read,
         "orc_native_write": _orc_native_write,
         "orc_native_read_split": _orc_native_read_split,
+        "orc_native_pushdown": _orc_native_pushdown,
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "point_lookup_hash": _point_lookup_hash,
@@ -591,6 +609,8 @@ def oracle_sql() -> dict[str, str]:
         "orc_native_read": "SELECT * FROM events",
         "orc_native_write": "SELECT * FROM events",
         "orc_native_read_split": "SELECT * FROM events",
+        "orc_native_pushdown":
+            "SELECT * FROM events WHERE value BETWEEN 10.0 AND 50.0",
         "encode_lineage": """
 SELECT count(*) AS total_rows, TRUE AS ids_unique, TRUE AS enc_positive,
        TRUE AS raw_positive, TRUE AS seq_contiguous

@@ -978,21 +978,37 @@ def _read_tail_from_file(f) -> tuple[dict, dict]:
     foot_end = len(buf) - 1 - ps_len
     footer = parse_footer(_decompress(
         buf[foot_end - ps["footer_length"]:foot_end], ps["compression"]))
-    return ps, footer
+    stats = None
+    if ps["metadata_length"]:
+        meta_start = foot_end - ps["footer_length"] - ps["metadata_length"]
+        raw = _decompress(buf[meta_start:meta_start + ps["metadata_length"]],
+                          ps["compression"])
+        stats = [[_parse_col_stats(cs) for cs in pb_fields(ss).get(1, [])]
+                 for ss in pb_fields(raw).get(1, [])]
+    return ps, footer, stats
 
 
 def read_orc_stripes(spark, path_glob: str,
-                     columns: list[str] | None = None):
+                     columns: list[str] | None = None,
+                     predicate: dict | None = None):
     """STRIPE-granular distributed native ORC scan — the scale path for
     big files. `read_orc_files` ships whole files to tasks (fine for
     partition-sized files); here the driver reads only each file's TAIL
-    (postscript + footer, a few KB per file — exactly what an ORC reader
-    does), then each (file, stripe) pair becomes one task that seeks to
-    its byte range and decodes just that stripe. Parallelism = total
-    stripes, task memory = one stripe — a single 10 GB ORC file decodes
-    across every core. Executors must see the same filesystem paths
-    (local/NFS in this sandbox; on a cluster the same pattern runs over
-    the object-store reader)."""
+    (postscript + footer + stripe statistics, a few KB per file — exactly
+    what an ORC reader does), then each (file, stripe) pair becomes one
+    task that seeks to its byte range and decodes just that stripe.
+    Parallelism = total stripes, task memory = one stripe — a single
+    10 GB ORC file decodes across every core. Executors must see the same
+    filesystem paths (local/NFS in this sandbox; on a cluster the same
+    pattern runs over the object-store reader).
+
+    `predicate` {column: (lo, hi)} prunes stripes by the file's
+    StripeStatistics metadata BEFORE any task exists (the reference's
+    stats-based seek/skip, orc/stripe.go:369-388, at stripe granularity):
+    a stripe whose recorded [min, max] provably misses every bound is
+    never read. Conservative — pruning returns a superset; apply the
+    exact `.filter` on the result. Values compare in the stats domain
+    (ints, floats, strings; dates as epoch-days)."""
     import glob as _glob
     import json as _json
 
@@ -1001,16 +1017,33 @@ def read_orc_stripes(spark, path_glob: str,
         raise ValueError(f"no files match {path_glob}")
     rows = []
     types0 = None
+    pruned = 0
     for p in files:
         with open(p, "rb") as f:
-            ps, footer = _read_tail_from_file(f)
+            ps, footer, stats = _read_tail_from_file(f)
         if types0 is None:
             types0 = footer["types"]
-        for s in footer["stripes"]:
+            pred_ids = {}
+            if predicate:
+                root0 = types0[0]
+                name_to_id = dict(zip(root0["field_names"],
+                                      root0["subtypes"]))
+                pred_ids = {name_to_id[c]: b for c, b in predicate.items()
+                            if c in name_to_id}
+        for si, s in enumerate(footer["stripes"]):
+            if predicate and stats and si < len(stats):
+                col_stats = stats[si]
+                if any(cid < len(col_stats)
+                       and not _stats_can_match(col_stats[cid], lo, hi)
+                       for cid, (lo, hi) in pred_ids.items()):
+                    pruned += 1
+                    continue
             total = s["index_length"] + s["data_length"] + s["footer_length"]
             rows.append((p, s["offset"], total, s["index_length"],
                          s["data_length"], s["footer_length"], s["n_rows"],
                          ps["compression"]))
+    if predicate and not rows:
+        rows = []  # fully pruned: empty frame below
     types_json = _json.dumps(types0)
     include = _include_ids(types0, columns)
     root = types0[0]
@@ -1052,3 +1085,74 @@ def read_orc_stripes(spark, path_glob: str,
                 yield pa.RecordBatch.from_struct_array(root_arr)
 
     return plan.mapInArrow(decode, out_schema)
+
+
+# --------------------------------------------------- stripe-stats pushdown
+
+def _unzig(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _parse_col_stats(cs) -> dict:
+    """One ColumnStatistics message -> typed {n, has_null, min, max}
+    (sint fields zigzag-decoded; doubles are fixed64)."""
+    import struct as _struct
+
+    cf = pb_fields(cs)
+    st: dict = {"n": _fint(cf, 1, 0), "has_null": bool(_fint(cf, 10, 0))}
+    if 2 in cf:  # IntegerStatistics (sint64)
+        i = pb_fields(cf[2][0])
+        if 1 in i:
+            st["min"] = _unzig(i[1][0])
+        if 2 in i:
+            st["max"] = _unzig(i[2][0])
+    elif 3 in cf:  # DoubleStatistics (fixed64 double)
+        d = pb_fields(cf[3][0])
+        if 1 in d:
+            st["min"] = _struct.unpack("<d", d[1][0])[0]
+        if 2 in d:
+            st["max"] = _struct.unpack("<d", d[2][0])[0]
+    elif 4 in cf:  # StringStatistics
+        s = pb_fields(cf[4][0])
+        if 1 in s:
+            st["min"] = bytes(s[1][0]).decode()
+        if 2 in s:
+            st["max"] = bytes(s[2][0]).decode()
+    elif 7 in cf:  # DateStatistics (sint32 days)
+        d = pb_fields(cf[7][0])
+        if 1 in d:
+            st["min"] = _unzig(d[1][0])
+        if 2 in d:
+            st["max"] = _unzig(d[2][0])
+    return st
+
+
+def parse_stripe_stats(data: bytes) -> list[list[dict]] | None:
+    """Per-stripe per-column statistics from the file METADATA section
+    (between content and footer; Metadata{repeated StripeStatistics
+    {repeated ColumnStatistics}}). None when the writer omitted it."""
+    ps_len = data[-1]
+    ps = parse_postscript(data[-1 - ps_len:-1])
+    if not ps["metadata_length"]:
+        return None
+    foot_end = len(data) - 1 - ps_len
+    meta_start = foot_end - ps["footer_length"] - ps["metadata_length"]
+    raw = _decompress(data[meta_start:meta_start + ps["metadata_length"]],
+                      ps["compression"])
+    out = []
+    for ss in pb_fields(raw).get(1, []):
+        out.append([_parse_col_stats(cs)
+                    for cs in pb_fields(ss).get(1, [])])
+    return out
+
+
+def _stats_can_match(st: dict | None, lo, hi) -> bool:
+    """Conservative stripe-level predicate check: keep unless the recorded
+    [min, max] provably misses [lo, hi]."""
+    if not st:
+        return True
+    if hi is not None and st.get("min") is not None and st["min"] > hi:
+        return False
+    if lo is not None and st.get("max") is not None and st["max"] < lo:
+        return False
+    return True

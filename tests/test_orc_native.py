@@ -355,3 +355,33 @@ def test_writer_jvm_cross_read(spark, tmp_path):
     w = df.toPandas().sort_values(["conv_id", "turn_idx"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(g[w.columns].astype(w.dtypes.to_dict()), w)
+
+
+def test_stripe_stats_pushdown(spark, tmp_path):
+    """StripeStatistics-based pruning: a range predicate cuts the task
+    list before any stripe is read; result is a supserset refined by the
+    exact filter; impossible ranges prune everything."""
+    from pyspark.sql import functions as F
+    df = (spark.range(150_000).select(F.col("id"),
+          (F.col("id") % 97).cast("string").alias("s")).coalesce(1))
+    path = str(tmp_path / "push")
+    (df.write.mode("overwrite").option("compression", "zlib")
+       .option("orc.stripe.size", str(256 * 1024)).orc(path))
+    full = on.read_orc_stripes(spark, path + "/*.orc")
+    pruned = on.read_orc_stripes(spark, path + "/*.orc",
+                                 predicate={"id": (100_000, 105_000)})
+    assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+    assert pruned.filter("id between 100000 and 105000").count() == 5_001
+    nothing = on.read_orc_stripes(spark, path + "/*.orc",
+                                  predicate={"id": (10**9, 2 * 10**9)})
+    assert nothing.count() == 0
+    # string-stat predicate on a JVM-written file (sorted strings)
+    df2 = (spark.range(60_000)
+           .select(F.format_string("k%07d", F.col("id")).alias("k"))
+           .orderBy("k").coalesce(1))
+    path2 = str(tmp_path / "push_s")
+    (df2.write.mode("overwrite").option("compression", "zlib")
+        .option("orc.stripe.size", str(128 * 1024)).orc(path2))
+    got = on.read_orc_stripes(spark, path2 + "/*.orc",
+                              predicate={"k": ("k0000100", "k0000200")})
+    assert got.filter("k between 'k0000100' and 'k0000200'").count() == 101

@@ -46,3 +46,17 @@ def export_orc(stripes: DataFrame, spec: list[dict], path: str,
     (optionally projected) and hand the rows to the JVM ORC writer."""
     write_orc(engine.decode_df(stripes, spec, columns=columns), path,
               compression=compression)
+
+
+def export_orc_native(stripes: DataFrame, spec: list[dict], path: str,
+                      compression: str = "zlib",
+                      columns: list[str] | None = None) -> None:
+    """Stripe table -> real ORC files with NO JVM ORC code anywhere:
+    decode with the engine, serialize with orc_native.write_orc (one file
+    per partition). The full circle — engine stripes to
+    independently-readable ORC bytes — using only this repo's codecs."""
+    from goorc_spark import orc_native
+
+    orc_native.write_orc_files(
+        engine.decode_df(stripes, spec, columns=columns), path,
+        compression=compression)

@@ -63,3 +63,20 @@ def test_pyarrow_written_orc_ingests(spark, source, tmp_path):
     assert decoded.count() == source.count()
     assert _sorted_rows(decoded.select("conv_id", "turn_idx", "text")) == \
         _sorted_rows(source.select("conv_id", "turn_idx", "text"))
+
+
+def test_export_orc_native_full_circle(spark, tmp_path):
+    """engine stripes -> native ORC bytes -> JVM reader: no JVM ORC code
+    on the write side, yet Spark's reader consumes the files."""
+    from goorc_spark import engine, orc_bridge, transcripts
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              partitions=3, run_id="natexp")
+    stripes = engine.encode_df(df, cfg)
+    path = str(tmp_path / "native_export")
+    orc_bridge.export_orc_native(stripes, transcripts.TRANSCRIPTS_SPEC, path)
+    back = spark.read.orc(path)
+    assert back.count() == df.count()
+    want = sorted(df.select("conv_id", "turn_idx", "text").collect())
+    got = sorted(back.select("conv_id", "turn_idx", "text").collect())
+    assert got == want

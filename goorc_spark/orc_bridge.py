@@ -39,6 +39,17 @@ def encode_from_orc(spark: SparkSession, path: str,
     return engine.encode_df(read_orc(spark, path), cfg)
 
 
+def encode_from_orc_native(spark: SparkSession, path_glob: str,
+                           cfg: engine.EncodeConfig | None = None) -> DataFrame:
+    """ORC file(s) -> stripe table through the NATIVE byte decoder
+    (orc_native.read_orc_stripes: stripe-granular tasks, repo codecs, no
+    JVM ORC) — ingest parity with the reference's own reader."""
+    from goorc_spark import orc_native
+
+    return engine.encode_df(orc_native.read_orc_stripes(spark, path_glob),
+                            cfg)
+
+
 def export_orc(stripes: DataFrame, spec: list[dict], path: str,
                compression: str = "zlib",
                columns: list[str] | None = None) -> None:

@@ -80,3 +80,20 @@ def test_export_orc_native_full_circle(spark, tmp_path):
     want = sorted(df.select("conv_id", "turn_idx", "text").collect())
     got = sorted(back.select("conv_id", "turn_idx", "text").collect())
     assert got == want
+
+
+def test_encode_from_orc_native(spark, tmp_path):
+    """JVM-written ORC -> native byte decode -> engine stripes -> decode:
+    ingest parity with the reference's own reader, end to end."""
+    from goorc_spark import engine, orc_bridge, transcripts
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "in_orc")
+    df.write.option("compression", "zlib").orc(path)
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              partitions=3, run_id="natin")
+    stripes = orc_bridge.encode_from_orc_native(spark, path + "/*.orc", cfg)
+    out = engine.decode_df(stripes, transcripts.TRANSCRIPTS_SPEC)
+    assert out.count() == df.count()
+    want = sorted(df.select("conv_id", "turn_idx", "text").collect())
+    got = sorted(out.select("conv_id", "turn_idx", "text").collect())
+    assert got == want

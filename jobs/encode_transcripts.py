@@ -35,6 +35,9 @@ def parse_args(argv):
                    help="stripe sink: parquet dir or catalog table "
                         "(e.g. an Iceberg identifier)")
     p.add_argument("--lineage", help="optional lineage sink (parquet dir)")
+    p.add_argument("--stats", help="optional per-run column-stats sink "
+                   "(parquet dir; engine.run_stats rollup — the ORC "
+                   "file-footer statistics analog)")
     p.add_argument("--key", default="conv_id")
     p.add_argument("--order", default="turn_idx",
                    help="comma-separated intra-key order columns")
@@ -92,6 +95,8 @@ def main(argv=None) -> int:
     lineage = engine.lineage_view(stripes)
     if args.lineage:
         lineage.write.mode("overwrite").parquet(args.lineage)
+    if args.stats:
+        engine.run_stats(stripes).write.mode("overwrite").parquet(args.stats)
     from pyspark.sql import functions as F
 
     agg = lineage.agg(

@@ -35,10 +35,16 @@ def test_encode_then_compact_cli(spark, capsys):
         transcripts.synthesize_spark(spark, n_convs=30).write.parquet(src)
         rc = encode_cli.main([
             "--input", src, "--output", f"{base}/stripes",
+            "--stats", f"{base}/run_stats",
             "--partitions", "6", "--stripe-mb", "1", "--verify"])
         assert rc == 0
         enc_metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert enc_metrics["verify_ok"] and enc_metrics["rows"] > 0
+        # --stats persisted the per-run rollup next to the stripes
+        rs = {r["column"]: r for r in
+              spark.read.parquet(f"{base}/run_stats").collect()}
+        assert rs["turn_idx"]["n_values"] == enc_metrics["rows"]
+        assert rs["turn_idx"]["min_long"] == 0
 
         rc = compact_cli.main([
             "--stripes", f"{base}/stripes", "--output", f"{base}/compacted",

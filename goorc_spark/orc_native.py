@@ -690,7 +690,8 @@ DICT_MAX_RATIO = 0.5  # distinct/values above this stays DIRECT_V2
 
 
 def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
-                          streams: list, encodings: dict) -> None:
+                          streams: list, encodings: dict,
+                          types: list | None = None) -> None:
     """Append (col_id, kind, raw_bytes) entries for one column (recursing
     into nested children); record the column's encoding."""
     kind = node["kind"]
@@ -706,8 +707,8 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
         encodings[col_id] = (ENC_DIRECT, 0)
         for i, sub in enumerate(node["subtypes"]):
             child = vals.field(i) if n else arr.field(i)
-            _write_column_streams(child, sub, _W_TYPES[sub], streams,
-                                  encodings)
+            _write_column_streams(child, sub, types[sub], streams,
+                                  encodings, types)
         return
     if kind in (T_LIST, T_MAP):
         offs = np.asarray(vals.offsets, dtype=np.int64) if len(vals) else \
@@ -723,19 +724,19 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
             child = vals.values.slice(lo, hi - lo) if len(vals) else \
                 arr.values.slice(0, 0)
             _write_column_streams(child, node["subtypes"][0],
-                                  _W_TYPES[node["subtypes"][0]], streams,
-                                  encodings)
+                                  types[node["subtypes"][0]], streams,
+                                  encodings, types)
         else:
             keys = vals.keys.slice(lo, hi - lo) if len(vals) else \
                 arr.keys.slice(0, 0)
             items = vals.items.slice(lo, hi - lo) if len(vals) else \
                 arr.items.slice(0, 0)
             _write_column_streams(keys, node["subtypes"][0],
-                                  _W_TYPES[node["subtypes"][0]], streams,
-                                  encodings)
+                                  types[node["subtypes"][0]], streams,
+                                  encodings, types)
             _write_column_streams(items, node["subtypes"][1],
-                                  _W_TYPES[node["subtypes"][1]], streams,
-                                  encodings)
+                                  types[node["subtypes"][1]], streams,
+                                  encodings, types)
         return
     if kind == T_BOOLEAN:
         bits = np.asarray(vals.cast(pa.int8()), dtype=np.int8).astype(bool) \
@@ -843,9 +844,6 @@ def _svarint_big(v: int) -> bytes:
     return _uvarint_bytes(u)
 
 
-_W_TYPES: list = []  # populated per write_orc call (single-threaded per task)
-
-
 def write_orc(table: pa.Table, compression: str = "zlib",
               stripe_rows: int = 1_000_000,
               block_size: int = 256 * 1024) -> bytes:
@@ -855,11 +853,9 @@ def write_orc(table: pa.Table, compression: str = "zlib",
     low-cardinality strings, full nested/null support, UTC writer
     timezone. One call = one file; at scale each Spark task writes its
     partition's file (see write_orc_files)."""
-    global _W_TYPES
     comp = {"none": COMP_NONE, "zlib": COMP_ZLIB}[compression]
     types: list = []
     _type_tree(table.schema, types, [])
-    _W_TYPES = types
     body = bytearray(MAGIC)
     stripe_infos = []
     n = table.num_rows
@@ -875,7 +871,8 @@ def write_orc(table: pa.Table, compression: str = "zlib",
         struct_arr = pa.StructArray.from_arrays(
             [root.column(i) for i in range(root.num_columns)],
             names=list(sub.schema.names))
-        _write_column_streams(struct_arr, 0, types[0], streams, encodings)
+        _write_column_streams(struct_arr, 0, types[0], streams, encodings,
+                              types)
         offset = len(body)
         data_len = 0
         stream_entries = []

@@ -366,7 +366,15 @@ def main() -> None:
         if e_i >= 0.82:
             break
     runs.sort(key=lambda r: r[0])
-    eff, small, big = runs[len(runs) // 2]  # median attempt (upper on ties)
+    mid = len(runs) // 2
+    if len(runs) % 2:
+        eff, small, big = runs[mid]
+    else:
+        # true median for even counts: mean of the middle two — an
+        # upper-median would re-introduce the max-selection bias for the
+        # common [fail, pass] retry shape
+        eff = (runs[mid - 1][0] + runs[mid][0]) / 2
+        _, small, big = runs[mid]  # legs from the upper-middle attempt
     extras["scaling"] = {"n": small, "4n": big, "efficiency": round(eff, 3),
                          "headline": "median-attempt",
                          "best": max(a["efficiency"] for a in attempts),

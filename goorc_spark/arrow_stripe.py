@@ -301,9 +301,16 @@ def stripe_col_stats(table: pa.Table, spec: list[dict]) -> dict:
             st["min"] = int(mm["min"].value)
             st["max"] = int(mm["max"].value)
         elif kind == "decimal":
-            mm = pc.min_max(arr)
-            st["min"] = str(mm["min"].as_py())
-            st["max"] = str(mm["max"].as_py())
+            # bounds as UNSCALED integers at the column scale: exact and
+            # order-preserving under the rollup's numeric min/max (str()
+            # of Decimal is NOT — the same trap _coerce_bound guards).
+            # precision > 18 exceeds int64 unscaled: n/nulls only.
+            if int(col.get("precision", 38)) <= 18:
+                mm = pc.min_max(arr)
+                st["min"] = int(mm["min"].as_py().scaleb(
+                    int(col.get("scale", 0))))
+                st["max"] = int(mm["max"].as_py().scaleb(
+                    int(col.get("scale", 0))))
         elif kind in ("string", "binary"):
             nb = int(pc.sum(pc.binary_length(arr)).as_py())
             st["bytes"] = nb

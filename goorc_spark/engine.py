@@ -710,10 +710,11 @@ def run_stats(stripes: DataFrame) -> DataFrame:
 
     One row per column: n_values/null_count always; typed min/max/sum
     slots (longs for integer kinds — timestamps as epoch-micros, dates as
-    days; doubles for floats; strings for string/binary/decimal; sum_long
-    for bool = true count; bytes_sum = total string/binary payload).
-    String bounds are NULL unless EVERY stripe recorded one (long free
-    text skips per-stripe bounds; see arrow_stripe.stripe_col_stats)."""
+    days, decimals (precision<=18) as UNSCALED ints at the column scale;
+    doubles for floats; strings for string/binary; sum_long for bool =
+    true count; bytes_sum = total string/binary payload). String bounds
+    are NULL unless EVERY stripe recorded one (long free text skips
+    per-stripe bounds; see arrow_stripe.stripe_col_stats)."""
 
     def expand(batches):
         import pyarrow as pa

@@ -348,19 +348,37 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
 
     if kind in (T_LIST, T_MAP):
         lengths = _read_ints(cur, col, n_vals, LENGTH, signed=False)
-        n_child = int(lengths.sum())
-        offsets = np.zeros(n_vals + 1, dtype=np.int32)
-        np.cumsum(lengths, out=offsets[1:])
+        # int64 accumulation: an int32 cumsum would silently wrap past
+        # 2^31 child elements (same hazard arrow_stripe._child_offsets
+        # guards); lists fall back to LargeList, maps must raise (Arrow
+        # has no LargeMap)
+        offsets64 = np.zeros(n_vals + 1, dtype=np.int64)
+        np.cumsum(lengths.astype(np.int64), out=offsets64[1:])
+        n_child = int(offsets64[-1])
+        wide = n_child >= (1 << 31)
         if kind == T_LIST:
             child = _decode_column(cur, types, t["subtypes"][0], n_child,
                                    tz_base, None)
-            dense = pa.ListArray.from_arrays(pa.array(offsets), child)
+            if wide:
+                dense = pa.LargeListArray.from_arrays(pa.array(offsets64),
+                                                      child)
+            else:
+                dense = pa.ListArray.from_arrays(
+                    pa.array(offsets64.astype(np.int32)), child)
         else:
+            if wide:
+                raise ValueError(
+                    f"ORC map column {t['field_names'] or col} has "
+                    f"{n_child} child entries >= 2^31 in one stripe; "
+                    "Arrow MapArray offsets are int32 and no LargeMap "
+                    "exists — read with a smaller stripe or project the "
+                    "column away")
             keys = _decode_column(cur, types, t["subtypes"][0], n_child,
                                   tz_base, None)
             vals = _decode_column(cur, types, t["subtypes"][1], n_child,
                                   tz_base, None)
-            dense = pa.MapArray.from_arrays(pa.array(offsets), keys, vals)
+            dense = pa.MapArray.from_arrays(
+                pa.array(offsets64.astype(np.int32)), keys, vals)
         return _take_spread(dense, mask)
 
     if kind == T_BOOLEAN:
@@ -548,14 +566,24 @@ def read_orc_files(spark, path: str, columns: list[str] | None = None):
     from pyspark.sql.pandas.types import from_arrow_schema
 
     files = spark.read.format("binaryFile").load(path) \
-        .select("content")
+        .select("path", "content")
 
-    # schema from one file's tail (driver reads just that file's bytes)
+    # schema from one file's TAIL only — the driver never decodes data
+    # (binaryFile row limit(1) still ships one whole file's bytes to the
+    # driver; for tail-only planning at big-file scale use
+    # read_orc_stripes, which opens paths directly)
     first = files.limit(1).collect()
     if not first:
         raise ValueError(f"no files under {path}")
-    sample = read_orc(bytes(first[0].content), columns)
-    schema = from_arrow_schema(sample.schema)
+    _, footer = parse_tail(bytes(first[0].content))
+    types0 = footer["types"]
+    include0 = _include_ids(types0, columns)
+    root0 = types0[0]
+    schema = from_arrow_schema(pa.schema(
+        [(n, _arrow_type(types0, c))
+         for n, c in zip(root0["field_names"], root0["subtypes"])
+         if include0 is None or c in include0]))
+    files = files.select("content")
 
     def _decode(iterator):
         for batch in iterator:
@@ -764,6 +792,21 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
         from goorc_spark.codecs.timestamps import pack_nanos
         us = np.asarray(vals.cast(pa.timestamp("us")).view(pa.int64()),
                         dtype=np.int64)
+        # The Java ORC convention (seconds truncated toward zero, nanos
+        # always positive, read-side -1s fix) CANNOT represent instants in
+        # (-1s, 0): they collapse onto (0, +1s). The C++ convention
+        # (signed nanos) can, but Spark's JVM reader rejects negative
+        # nanos outright ("nanos > 999999999 or < 0" — measured). We keep
+        # the JVM-compatible convention and refuse the unrepresentable
+        # interval instead of silently corrupting it.
+        bad = (us > -1_000_000) & (us < 0)
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} timestamp(s) fall in "
+                "1969-12-31T23:59:59..1970-01-01T00:00:00, which the "
+                "JVM-compatible ORC timestamp encoding cannot represent "
+                "(seconds truncate toward zero, nanos must be positive); "
+                "shift or null these values, or export via parquet")
         abs_sec = np.floor_divide(us, 1_000_000)
         nanos = np.mod(us, 1_000_000).astype(np.uint64) * np.uint64(1000)
         # inverse of the read-side pre-1970 rule: the Java convention
@@ -957,9 +1000,9 @@ def write_orc_files(df, path: str, compression: str = "zlib",
 
 # ------------------------------------------------------- splittable scan
 
-def _read_tail_from_file(f) -> tuple[dict, dict]:
-    """(postscript, footer) reading ONLY the file tail (seek to end, read
-    the last bytes) — the way the reference sizes its reads
+def _read_tail_from_file(f) -> tuple[dict, dict, list | None]:
+    """(postscript, footer, stripe_stats) reading ONLY the file tail (seek
+    to end, read the last bytes) — the way the reference sizes its reads
     (orc/reader.go:254-279 DIRECTORY_SIZE_GUESS), not the whole file."""
     f.seek(0, 2)
     size = f.tell()
@@ -978,10 +1021,9 @@ def _read_tail_from_file(f) -> tuple[dict, dict]:
     stats = None
     if ps["metadata_length"]:
         meta_start = foot_end - ps["footer_length"] - ps["metadata_length"]
-        raw = _decompress(buf[meta_start:meta_start + ps["metadata_length"]],
-                          ps["compression"])
-        stats = [[_parse_col_stats(cs) for cs in pb_fields(ss).get(1, [])]
-                 for ss in pb_fields(raw).get(1, [])]
+        stats = _parse_stats_block(_decompress(
+            buf[meta_start:meta_start + ps["metadata_length"]],
+            ps["compression"]))
     return ps, footer, stats
 
 
@@ -1134,13 +1176,15 @@ def parse_stripe_stats(data: bytes) -> list[list[dict]] | None:
         return None
     foot_end = len(data) - 1 - ps_len
     meta_start = foot_end - ps["footer_length"] - ps["metadata_length"]
-    raw = _decompress(data[meta_start:meta_start + ps["metadata_length"]],
-                      ps["compression"])
-    out = []
-    for ss in pb_fields(raw).get(1, []):
-        out.append([_parse_col_stats(cs)
-                    for cs in pb_fields(ss).get(1, [])])
-    return out
+    return _parse_stats_block(_decompress(
+        data[meta_start:meta_start + ps["metadata_length"]],
+        ps["compression"]))
+
+
+def _parse_stats_block(raw: bytes) -> list[list[dict]]:
+    """Decompressed Metadata message -> [stripe][column] stats dicts."""
+    return [[_parse_col_stats(cs) for cs in pb_fields(ss).get(1, [])]
+            for ss in pb_fields(raw).get(1, [])]
 
 
 def _stats_can_match(st: dict | None, lo, hi) -> bool:

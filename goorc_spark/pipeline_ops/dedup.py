@@ -465,6 +465,39 @@ def dedup_keep_lsh(docs: DataFrame, k: int = 12, bands: int = 4,
             .join(near_losers, "doc_id", "left_anti"))
 
 
+def verify_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
+                         threshold: float = 0.8) -> DataFrame:
+    """Exact char n-gram Jaccard over CANDIDATE pairs only (the standard
+    LSH verify step): shingle just the docs that appear in `pairs`, count
+    per-pair intersections with one equi-join on (candidate doc, shingle),
+    and keep pairs at or above `threshold`. Work is O(candidates x
+    shingles-per-doc) — linear in the candidate set, never quadratic in
+    the corpus. Returns (doc_a, doc_b, jaccard)."""
+    cand_docs = (pairs.select(F.col("doc_a").alias("doc_id"))
+                 .union(pairs.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    sh = (docs.join(cand_docs, "doc_id")
+          .select("doc_id", F.explode(_shingles(F.col("text"), n))
+                  .alias("s")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+             .join(b, (pairs.doc_b == F.col("b.doc_id"))
+                   & (F.col("a.s") == F.col("b.s")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_sh", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_sh", "nb"), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb")
+                                  - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 def dedup_components(docs: DataFrame, n: int = 3,
                      threshold: float = 0.8, max_iters: int = 20,
                      pair_source: str = "auto") -> DataFrame:
@@ -480,9 +513,13 @@ def dedup_components(docs: DataFrame, n: int = 3,
     their own component.
 
     `pair_source`: 'exact' (prefix-filtered Jaccard — the oracle-exact
-    edge set), 'lsh' (minhash_lsh_pairs — fully bucketed, no quadratic
-    term), or 'auto' (exact up to EXACT_BASELINE_MAX docs, lsh above —
-    VERDICT r2: the scale path must be the path of least resistance)."""
+    edge set), 'lsh' (minhash_lsh_pairs CANDIDATES verified against the
+    exact n-gram Jaccard threshold — verification touches only candidate
+    pairs, so it stays linear in the candidate count, never quadratic in
+    docs), or 'auto' (exact up to EXACT_BASELINE_MAX docs, lsh above —
+    VERDICT r2: the scale path must be the path of least resistance).
+    Both sources honor `threshold`; lsh differs from exact only by LSH
+    recall (a truly-similar pair no band caught)."""
     if pair_source == "auto":
         small = docs.limit(EXACT_BASELINE_MAX + 1).count() <= EXACT_BASELINE_MAX
         pair_source = "exact" if small else "lsh"
@@ -490,7 +527,9 @@ def dedup_components(docs: DataFrame, n: int = 3,
         pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold) \
             .select("doc_a", "doc_b")
     else:
-        pairs = minhash_lsh_pairs(docs, shingle=n).select("doc_a", "doc_b")
+        cand = minhash_lsh_pairs(docs, shingle=n).select("doc_a", "doc_b")
+        pairs = verify_jaccard_pairs(docs, cand, n=n, threshold=threshold) \
+            .select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).distinct().cache()

@@ -187,3 +187,27 @@ def test_components_pair_source_routing(spark):
     auto = dedup.dedup_components(docs)  # small -> exact
     assert exact.count() == lsh.count() == auto.count() == 60
     assert sorted(exact.collect()) == sorted(auto.collect())
+
+
+def test_components_lsh_verifies_threshold(spark):
+    """Code-review r3: lsh-mode components must honor `threshold` — raw
+    band collisions get verified with the exact n-gram Jaccard, so a
+    high threshold yields no merged components for merely-similar docs."""
+    from goorc_spark.pipeline_ops import dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(80)
+    # verify step alone: candidates -> exact jaccard filter
+    cand = dedup.minhash_lsh_pairs(docs, shingle=3)
+    verified = dedup.verify_jaccard_pairs(docs, cand, n=3, threshold=0.8)
+    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    v = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    e = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    assert v <= e, "verified pairs must be a subset of exact pairs"
+    # threshold=1.0 in lsh mode merges only byte-identical shingle sets
+    comp_hi = dedup.dedup_components(docs, threshold=1.0,
+                                     pair_source="lsh")
+    comp_lo = dedup.dedup_components(docs, threshold=0.2,
+                                     pair_source="lsh")
+    n_hi = comp_hi.select("component").distinct().count()
+    n_lo = comp_lo.select("component").distinct().count()
+    assert n_hi >= n_lo, "higher threshold cannot merge more"

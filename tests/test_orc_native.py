@@ -385,3 +385,22 @@ def test_stripe_stats_pushdown(spark, tmp_path):
     got = on.read_orc_stripes(spark, path2 + "/*.orc",
                               predicate={"k": ("k0000100", "k0000200")})
     assert got.filter("k between 'k0000100' and 'k0000200'").count() == 101
+
+
+def test_writer_negative_subsecond_refused():
+    """(-1s, 0) instants are unrepresentable in the JVM-compatible ORC
+    timestamp convention (they'd silently decode as (0, +1s)); the writer
+    refuses them. Every other negative shape round-trips exactly."""
+    bad = pa.table({"ts": pa.array([-500_000], type=pa.int64())
+                   .view(pa.timestamp("us"))})
+    with pytest.raises(ValueError, match="cannot represent"):
+        on.write_orc(bad)
+    ok_vals = [-1_000_000, -1_500_000, -2_000_000, 0, 1,
+               -14_182_939_500_000, 999_999]  # full seconds + <=-1s + pos
+    t = pa.table({"ts": pa.array(ok_vals, type=pa.int64())
+                 .view(pa.timestamp("us"))})
+    data = on.write_orc(t)
+    assert [x.value for x in on.read_orc(data).column("ts")] == ok_vals
+    pya = po.read_table(io.BytesIO(data)).column("ts") \
+        .cast(pa.timestamp("us"))
+    assert [x.value for x in pya.chunk(0)] == ok_vals

@@ -371,3 +371,25 @@ def test_stripe_col_stats_and_run_stats(spark):
     assert rs["long_text"]["min_str"] is None
     assert rs["long_text"]["bytes_sum"] == int(
         pdf["long_text"].str.len().sum())
+
+
+def test_run_stats_decimal_bounds_numeric(spark):
+    """Decimal bounds roll up numerically (unscaled ints), not as strings
+    ('9.50' vs '10.20' lexicographic — the _coerce_bound trap)."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "k": [f"k{i:04d}" for i in range(400)],
+        "i": np.arange(400),
+        "d": [decimal.Decimal(i - 200).scaleb(-2) * 105
+              for i in range(400)],   # -210.00 .. 208.95 step 1.05
+    })
+    df = spark.createDataFrame(
+        pdf, schema="k string, i long, d decimal(12,2)")
+    cfg = engine.EncodeConfig(key_col="k", order_cols=("i",),
+                              stripe_bytes=8 * 1024, partitions=3,
+                              run_id="decstat")
+    rs = {r["column"]: r for r in
+          engine.run_stats(engine.encode_df(df, cfg)).collect()}
+    assert rs["d"]["min_long"] == -21000   # unscaled at scale 2
+    assert rs["d"]["max_long"] == 20895
+    assert rs["d"]["min_str"] is None

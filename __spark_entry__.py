@@ -390,6 +390,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), n=3, threshold=0.8),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), k=12, bands=4, shingle=6),
+        # the LSH VERIFY step (r3): exact n-gram Jaccard over candidate
+        # pairs only — what makes lsh-mode dedup_components honor its
+        # threshold; linear in candidates, never quadratic in docs
+        "dedup_verify_lsh": lambda s, d: dedup.verify_jaccard_pairs(
+            _docs(s, d), dedup.minhash_lsh_pairs(
+                _docs(s, d), k=12, bands=4, shingle=6),
+            n=3, threshold=0.8),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_simhash_near": lambda s, d: dedup.simhash_near_dup(
             _docs(s, d), max_hamming=8),
@@ -890,6 +897,24 @@ WITH bench AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+""",
+        "dedup_verify_lsh": f"""
+WITH cand AS ({_minhash_lsh_sql(12, 4, 6)}),
+sh AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(length(text) - 2, 1)),
+          i -> substring(text, i, 3))) AS shingles FROM documents)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+FROM inter WHERE round(inter / (na + nb - inter), 6) >= 0.8
 """,
         "dedup_keep_lsh": f"""
 WITH pairs AS ({_minhash_lsh_sql(12, 4, 6)}),

@@ -367,19 +367,30 @@ def main() -> None:
             break
     runs.sort(key=lambda r: r[0])
     mid = len(runs) // 2
+    median_pair = None
     if len(runs) % 2:
         eff, small, big = runs[mid]
     else:
         # true median for even counts: mean of the middle two — an
         # upper-median would re-introduce the max-selection bias for the
-        # common [fail, pass] retry shape
+        # common [fail, pass] retry shape. BOTH middle attempts' legs are
+        # recorded (ADVICE r3: legs from one attempt alone cannot
+        # reproduce an averaged headline); the displayed n/4n legs are the
+        # upper-middle attempt's.
         eff = (runs[mid - 1][0] + runs[mid][0]) / 2
-        _, small, big = runs[mid]  # legs from the upper-middle attempt
+        _, small, big = runs[mid]
+        median_pair = {
+            "lower": {"n": runs[mid - 1][1], "4n": runs[mid - 1][2],
+                      "efficiency": round(runs[mid - 1][0], 3)},
+            "upper": {"n": runs[mid][1], "4n": runs[mid][2],
+                      "efficiency": round(runs[mid][0], 3)}}
     extras["scaling"] = {"n": small, "4n": big, "efficiency": round(eff, 3),
                          "headline": "median-attempt",
                          "best": max(a["efficiency"] for a in attempts),
                          "worst": min(a["efficiency"] for a in attempts),
                          "method": method, "attempts": attempts}
+    if median_pair:
+        extras["scaling"]["median_pair"] = median_pair
     queries["encode_scale_n"] = small["sec"]
     queries["encode_scale_4n"] = big["sec"]
 

@@ -260,6 +260,32 @@ def encode_stripe_table(
 
 
 _INT_STAT_KINDS = {"byte", "short", "int", "long"}
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _exact_int_sum(arr, mn: int, mx: int) -> int | None:
+    """Exact integer column sum with overflow detection: pc.sum and np.sum
+    both wrap silently in int64, so a hot column near the bound would
+    report a WRONG sum_long; the reference's footer statistics omit the
+    sum on overflow instead (ADVICE r3) — mirrored here as an explicit
+    None marker (distinct from 'kind has no sum') so the run_stats rollup
+    can drop the whole-run sum when any stripe overflowed. Cheap proof
+    first: when n·max|bound| provably fits, the plain int64 sum is exact;
+    only a stripe that MIGHT overflow pays the 32-bit-limb pass."""
+    n = len(arr) - arr.null_count
+    if n == 0:
+        return 0
+    if n * max(abs(mn), abs(mx)) <= _I64_MAX:  # Python ints: proof can't wrap
+        return int(pc.sum(arr).as_py())
+    a = np.asarray(arr.drop_null().cast(pa.int64()).combine_chunks()
+                   if isinstance(arr, pa.ChunkedArray)
+                   else arr.drop_null().cast(pa.int64()))
+    # limb sum: v = (v >> 32)·2^32 + (v & 0xffffffff); each limb's sum is
+    # provably exact for any realistic stripe row count (< 2^31 rows)
+    lo = int((a & 0xFFFFFFFF).astype(np.uint64).sum())
+    hi = int((a >> 32).sum())
+    total = hi * (1 << 32) + lo
+    return total if _I64_MIN <= total <= _I64_MAX else None
 
 
 def stripe_col_stats(table: pa.Table, spec: list[dict]) -> dict:
@@ -288,7 +314,7 @@ def stripe_col_stats(table: pa.Table, spec: list[dict]) -> dict:
             mm = pc.min_max(arr)
             st["min"] = mm["min"].as_py()
             st["max"] = mm["max"].as_py()
-            st["sum"] = int(pc.sum(arr).as_py())
+            st["sum"] = _exact_int_sum(arr, st["min"], st["max"])
         elif kind == "bool":
             st["sum"] = int(pc.sum(arr.cast(pa.int64())).as_py())
         elif kind in ("float", "double"):
@@ -304,13 +330,20 @@ def stripe_col_stats(table: pa.Table, spec: list[dict]) -> dict:
             # bounds as UNSCALED integers at the column scale: exact and
             # order-preserving under the rollup's numeric min/max (str()
             # of Decimal is NOT — the same trap _coerce_bound guards).
-            # precision > 18 exceeds int64 unscaled: n/nulls only.
+            # precision > 18 exceeds int64 unscaled: bounds go to the
+            # wide min_dec/max_dec slots (Python big ints in the JSON;
+            # the rollup carries them as decimal(38,0)) — VERDICT r3 #10.
+            mm = pc.min_max(arr)
+            sc = int(col.get("scale", 0))
+            # wide context: default scaleb ROUNDS at 28 significant digits,
+            # silently corrupting 38-digit bounds
+            wide = _decimal.Context(prec=60)
+            lo = int(mm["min"].as_py().scaleb(sc, wide))
+            hi = int(mm["max"].as_py().scaleb(sc, wide))
             if int(col.get("precision", 38)) <= 18:
-                mm = pc.min_max(arr)
-                st["min"] = int(mm["min"].as_py().scaleb(
-                    int(col.get("scale", 0))))
-                st["max"] = int(mm["max"].as_py().scaleb(
-                    int(col.get("scale", 0))))
+                st["min"], st["max"] = lo, hi
+            else:
+                st["min_dec"], st["max_dec"] = lo, hi
         elif kind in ("string", "binary"):
             nb = int(pc.sum(pc.binary_length(arr)).as_py())
             st["bytes"] = nb

@@ -698,8 +698,13 @@ def read_rows_at(stripes: DataFrame, spec: list[dict] | None,
 RUN_STATS_SCHEMA = ("column string, n_values bigint, null_count bigint, "
                     "min_long bigint, max_long bigint, sum_long bigint, "
                     "min_dbl double, max_dbl double, sum_dbl double, "
-                    "min_str string, max_str string, bytes_sum bigint, "
-                    "has_str_bounds int")
+                    "min_str string, max_str string, "
+                    "min_dec decimal(38,0), max_dec decimal(38,0), "
+                    "bytes_sum bigint, has_str_bounds int, sum_overflow int")
+_RUN_STATS_COLS = ["column", "n_values", "null_count", "min_long",
+                   "max_long", "sum_long", "min_dbl", "max_dbl", "sum_dbl",
+                   "min_str", "max_str", "min_dec", "max_dec", "bytes_sum",
+                   "has_str_bounds", "sum_overflow"]
 
 
 def run_stats(stripes: DataFrame) -> DataFrame:
@@ -719,7 +724,7 @@ def run_stats(stripes: DataFrame) -> DataFrame:
     def expand(batches):
         import pyarrow as pa
 
-        names = [f.split(" ")[0] for f in RUN_STATS_SCHEMA.split(", ")]
+        names = _RUN_STATS_COLS
         for rb in batches:
             rows: dict = {k: [] for k in names}
             for meta_json in rb.column("meta").to_pylist():
@@ -733,11 +738,18 @@ def run_stats(stripes: DataFrame) -> DataFrame:
                     rows["min_long"].append(mn if is_int else None)
                     rows["max_long"].append(mx if is_int else None)
                     rows["sum_long"].append(sm if isinstance(sm, int) else None)
+                    # explicit None marker = the stripe's exact sum overflowed
+                    # int64 (arrow_stripe._exact_int_sum); the whole-run sum
+                    # must then be omitted, not summed over the survivors
+                    rows["sum_overflow"].append(
+                        1 if ("sum" in st and sm is None) else 0)
                     rows["min_dbl"].append(mn if isinstance(mn, float) else None)
                     rows["max_dbl"].append(mx if isinstance(mx, float) else None)
                     rows["sum_dbl"].append(sm if isinstance(sm, float) else None)
                     rows["min_str"].append(mn if isinstance(mn, str) else None)
                     rows["max_str"].append(mx if isinstance(mx, str) else None)
+                    rows["min_dec"].append(st.get("min_dec"))
+                    rows["max_dec"].append(st.get("max_dec"))
                     rows["bytes_sum"].append(st.get("bytes"))
                     rows["has_str_bounds"].append(
                         0 if ("bytes" in st and mn is None and st["n"])
@@ -754,9 +766,12 @@ def run_stats(stripes: DataFrame) -> DataFrame:
                  "sum_dbl": pa.array(rows["sum_dbl"], pa.float64()),
                  "min_str": pa.array(rows["min_str"], pa.string()),
                  "max_str": pa.array(rows["max_str"], pa.string()),
+                 "min_dec": pa.array(rows["min_dec"], pa.decimal128(38, 0)),
+                 "max_dec": pa.array(rows["max_dec"], pa.decimal128(38, 0)),
                  "bytes_sum": pa.array(rows["bytes_sum"], pa.int64()),
                  "has_str_bounds": pa.array(rows["has_str_bounds"],
-                                            pa.int32())})
+                                            pa.int32()),
+                 "sum_overflow": pa.array(rows["sum_overflow"], pa.int32())})
 
     long_rows = stripes.select("meta").mapInArrow(expand, RUN_STATS_SCHEMA)
     agg = long_rows.groupBy("column").agg(
@@ -764,20 +779,31 @@ def run_stats(stripes: DataFrame) -> DataFrame:
         F.sum("null_count").alias("null_count"),
         F.min("min_long").alias("min_long"),
         F.max("max_long").alias("max_long"),
-        F.sum("sum_long").alias("sum_long"),
+        # rollup in decimal(38,0): the per-stripe sums are exact int64 but
+        # their SUM can overflow int64 across stripes — Spark's long sum
+        # wraps silently; the wide sum is checked back into range below
+        # (reference semantics: omit the sum on overflow)
+        F.sum(F.col("sum_long").cast("decimal(38,0)")).alias("_sum_dec"),
+        F.max("sum_overflow").alias("_soflow"),
         F.min("min_dbl").alias("min_dbl"),
         F.max("max_dbl").alias("max_dbl"),
         F.sum("sum_dbl").alias("sum_dbl"),
         F.min("min_str").alias("_min_str"),
         F.max("max_str").alias("_max_str"),
+        F.min("min_dec").alias("min_dec"),
+        F.max("max_dec").alias("max_dec"),
         F.sum("bytes_sum").alias("bytes_sum"),
         F.min("has_str_bounds").alias("_complete"))
+    i64 = (F.col("_sum_dec") >= F.lit(-(1 << 63)).cast("decimal(38,0)")) & \
+          (F.col("_sum_dec") <= F.lit((1 << 63) - 1).cast("decimal(38,0)"))
     return agg.select(
         "column", "n_values", "null_count", "min_long", "max_long",
-        "sum_long", "min_dbl", "max_dbl", "sum_dbl",
+        F.when((F.col("_soflow") == 0) & i64,
+               F.col("_sum_dec").cast("long")).alias("sum_long"),
+        "min_dbl", "max_dbl", "sum_dbl",
         F.when(F.col("_complete") == 1, F.col("_min_str")).alias("min_str"),
         F.when(F.col("_complete") == 1, F.col("_max_str")).alias("max_str"),
-        "bytes_sum")
+        "min_dec", "max_dec", "bytes_sum")
 
 
 # ---------------------------------------------------------------- lineage --

@@ -162,6 +162,30 @@ def _orc_native_read_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orc_native.read_orc_stripes(spark, path + "/*.orc")
 
 
+def _orc_native_row_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_INDEX seek on real ORC bytes (VERDICT r3 #4; reference
+    Seek(rowNumber), orc/reader.go:199-212 + positions
+    orc/stream/writer.go:29-41): events sorted by event_id, JVM-written
+    with rowIndexStride=1000 and small stripes, then rows [3000, 3642)
+    are read natively — only the overlapping row groups' chunks are
+    decompressed (bytes-touched asserted in tests/test_orc_native.py::
+    test_row_index_seek_jvm). Oracle: LIMIT/OFFSET over the same order."""
+    import glob as _glob
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = "/tmp/goorc_orc_rowseek_" + sf_dir.strip("/").replace("/", "_")
+    (ev.orderBy("event_id").coalesce(1).write.mode("overwrite")
+       .option("compression", "zlib")
+       .option("orc.row.index.stride", "1000")
+       .option("orc.stripe.size", str(256 * 1024)).orc(path))
+    fn = sorted(_glob.glob(path + "/part-*.orc"))[0]
+    with open(fn, "rb") as f:
+        tbl = orc_native.read_orc_rows(f.read(), 3000, 3642)
+    return spark.createDataFrame(tbl.to_pandas(),
+                                 schema=from_arrow_schema(tbl.schema))
+
+
 def _orc_native_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stripe-statistics predicate pushdown on real ORC bytes: events
     sorted by value -> one file, many stripes; the value-range predicate
@@ -408,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_native_read_split": _orc_native_read_split,
         "orc_native_pushdown": _orc_native_pushdown,
         "orc_native_write_pushdown": _orc_native_write_pushdown,
+        "orc_native_row_seek": _orc_native_row_seek,
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "point_lookup_hash": _point_lookup_hash,
@@ -661,6 +686,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE value BETWEEN 10.0 AND 50.0",
         "orc_native_write_pushdown":
             "SELECT * FROM events WHERE value BETWEEN 10.0 AND 50.0",
+        "orc_native_row_seek":
+            "SELECT * FROM events ORDER BY event_id LIMIT 642 OFFSET 3000",
         "encode_lineage": """
 SELECT count(*) AS total_rows, TRUE AS ids_unique, TRUE AS enc_positive,
        TRUE AS raw_positive, TRUE AS seq_contiguous

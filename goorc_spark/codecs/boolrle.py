@@ -22,3 +22,11 @@ def decode(data, count: int) -> np.ndarray:
     nbytes = (count + 7) // 8
     packed = byterle.decode(data, nbytes)
     return np.unpackbits(packed, bitorder="big")[:count].astype(bool)
+
+
+def decode_prefix(data, count: int) -> np.ndarray:
+    """decode() over a stream window that may hold more runs than needed
+    (row-index seek); byte-RLE may overshoot the final run."""
+    nbytes = (count + 7) // 8
+    packed = byterle.decode_prefix(data, nbytes)
+    return np.unpackbits(packed, bitorder="big")[:count].astype(bool)

@@ -59,23 +59,44 @@ def _flush_literals(out: bytearray, b: np.ndarray, start: int, end: int) -> None
 
 
 def decode(data, count: int) -> np.ndarray:
+    out, got = _decode_runs(data, count, slack=0)
+    if got != count:
+        raise ValueError(f"byte-rle decoded {got}, expected {count}")
+    return out
+
+
+def decode_prefix(data, count: int) -> np.ndarray:
+    """Decode `count` bytes from a buffer whose runs may continue past
+    them (row-index seek starts mid-stream at a run boundary); the final
+    run may overshoot and trailing bytes are ignored."""
+    out, got = _decode_runs(data, count, slack=MAX_REPEAT + 1)
+    if got < count:
+        raise ValueError(f"byte-rle decoded {got}, expected >= {count}")
+    return out[:count]
+
+
+def _decode_runs(data, count: int, slack: int):
     buf = np.frombuffer(data, dtype=np.uint8)
-    out = np.empty(count, dtype=np.uint8)
+    out = np.empty(count + slack, dtype=np.uint8)
     got = 0
     off = 0
     n = len(buf)
     while got < count and off < n:
         c = int(buf[off])
         if c < 128:
+            if off + 1 >= n:  # header at window end (prefix decode)
+                break
             rep = c + MIN_REPEAT
             out[got : got + rep] = buf[off + 1]
             got += rep
             off += 2
         else:
-            lit = 256 - c
+            # a window (prefix decode) may end mid-literal-run: copy what
+            # the buffer holds; the caller's count bounds what's consumed
+            lit = min(256 - c, n - (off + 1))
             out[got : got + lit] = buf[off + 1 : off + 1 + lit]
             got += lit
             off += 1 + lit
-    if got != count:
-        raise ValueError(f"byte-rle decoded {got}, expected {count}")
-    return out
+            if lit < 256 - c:
+                break
+    return out, got

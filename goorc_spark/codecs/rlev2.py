@@ -339,9 +339,32 @@ def _try_patched_base(out: bytearray, block) -> bool:
 
 
 def decode(data, count: int, signed: bool = True) -> np.ndarray:
-    """Decode `count` values from RLEv2 bytes."""
+    """Decode `count` values from RLEv2 bytes (the stream must end exactly
+    at the count-th value — whole-stream reads)."""
+    out, got = _decode_runs(data, count, signed, slack=0)
+    if got != count:
+        raise ValueError(f"decoded {got} values, expected {count}")
+    return out
+
+
+def decode_prefix(data, count: int, signed: bool = True) -> np.ndarray:
+    """Decode `count` values from a buffer whose runs may continue PAST
+    them (row-index seek decodes a decompressed stream window starting at
+    a run boundary, not a whole stream): the final run may overshoot, and
+    trailing bytes are ignored."""
+    out, _ = _decode_runs(data, count, signed, slack=MAX_RUN + 8)
+    return out[:count]
+
+
+# a single RLEv2 run never holds more than 512 values (DIRECT/PATCHED/
+# DELTA length field is 9 bits + 1; SHORT_REPEAT <= 10), so decoding into
+# count+MAX_RUN slots can never overflow even when the last run overshoots
+MAX_RUN = 512
+
+
+def _decode_runs(data, count: int, signed: bool, slack: int):
     buf = np.frombuffer(data, dtype=np.uint8)
-    out = np.empty(count, dtype=np.int64 if signed else np.uint64)
+    out = np.empty(count + slack, dtype=np.int64 if signed else np.uint64)
     got = 0
     off = 0
     while got < count:
@@ -354,9 +377,7 @@ def decode(data, count: int, signed: bool = True) -> np.ndarray:
             off, got = _dec_patched(buf, off, out, got)
         else:
             off, got = _dec_delta(buf, off, out, got, signed)
-    if got != count:
-        raise ValueError(f"decoded {got} values, expected {count}")
-    return out
+    return out, got
 
 
 def _dec_short_repeat(buf, off, out, got, signed):

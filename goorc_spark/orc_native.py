@@ -147,18 +147,22 @@ def _zstd_size(b) -> int:
     return int.from_bytes(b[off:off + n], "little")
 
 
-def _decompress(raw, kind: int) -> bytes:
+def _decompress(raw, kind: int, limit: int | None = None) -> bytes:
     """An ORC compressed stream: 3-byte little-endian chunk headers,
     value = (chunkLen << 1) | isOriginal; zlib chunks are raw deflate,
     snappy/zstd chunks carry their uncompressed size in-band (snappy
     leading varint; zstd frame-content-size), which is what pyarrow's
-    codecs need. LZ4 block format has no in-band size — unsupported."""
+    codecs need. LZ4 block format has no in-band size — unsupported.
+    `limit` stops after enough chunks are decompressed to yield that many
+    bytes (row-index seek windows)."""
     if kind == COMP_NONE:
-        return bytes(raw)
+        return bytes(raw) if limit is None else bytes(raw[:limit])
     out = bytearray()
     buf = memoryview(raw)
     off, end = 0, len(buf)
     while off < end:
+        if limit is not None and len(out) >= limit:
+            break
         h = buf[off] | (buf[off + 1] << 8) | (buf[off + 2] << 16)
         off += 3
         ln, original = h >> 1, h & 1
@@ -308,11 +312,16 @@ def _require_fixed_offset(tz: str, abs_sec: np.ndarray) -> None:
 
 
 class _StripeCursor:
-    """Positions + lazy decompression of one stripe's streams."""
+    """Positions + lazy decompression of one stripe's streams. The typed
+    accessors (present/ints/bools/bytes_rle/raw) are the decode surface
+    _decode_column uses — _SeekCursor overrides them to serve row-group
+    windows from ROW_INDEX positions instead of whole streams."""
 
-    def __init__(self, data: bytes, stripe: dict, sf: dict, comp: int):
+    def __init__(self, data: bytes, stripe: dict, sf: dict, comp: int,
+                 metrics: dict | None = None):
         self.data = data
         self.comp = comp
+        self.metrics = metrics
         self.loc: dict[tuple[int, int], tuple[int, int]] = {}
         off = stripe["offset"]
         for s in sf["streams"]:
@@ -324,19 +333,181 @@ class _StripeCursor:
     def has(self, col: int, kind: int) -> bool:
         return (col, kind) in self.loc
 
+    def _count(self, nbytes: int) -> None:
+        if self.metrics is not None:
+            self.metrics["decompressed_bytes"] = \
+                self.metrics.get("decompressed_bytes", 0) + nbytes
+
     def stream(self, col: int, kind: int) -> bytes:
         off, ln = self.loc[(col, kind)]
-        return _decompress(self.data[off:off + ln], self.comp)
+        out = _decompress(self.data[off:off + ln], self.comp)
+        self._count(len(out))
+        return out
+
+    def _check_rlev2(self, col: int) -> None:
+        enc = self.encodings[col]["kind"]
+        if enc not in (ENC_DIRECT_V2, ENC_DICTIONARY_V2):
+            raise NotImplementedError(
+                f"column {col}: RLEv1 encoding {enc} not supported "
+                "(DIRECT_V2 is what modern writers emit)")
+
+    # -- typed accessors (whole-stream decode) ---------------------------
+    def present(self, col: int, n_rows: int):
+        if self.has(col, PRESENT):
+            return boolrle.decode(self.stream(col, PRESENT), n_rows)
+        return None
+
+    def ints(self, col: int, kind: int, n: int, signed: bool) -> np.ndarray:
+        self._check_rlev2(col)
+        return rlev2.decode(self.stream(col, kind), n, signed=signed)
+
+    def bools(self, col: int, n: int) -> np.ndarray:
+        return boolrle.decode(self.stream(col, DATA), n)
+
+    def bytes_rle(self, col: int, n: int) -> np.ndarray:
+        return byterle.decode(self.stream(col, DATA), n)
+
+    def raw(self, col: int, kind: int, nbytes: int) -> bytes:
+        return self.stream(col, kind)
 
 
 def _read_ints(cur: _StripeCursor, col: int, n: int, kind: int,
                signed: bool) -> np.ndarray:
-    enc = cur.encodings[col]["kind"]
-    if enc not in (ENC_DIRECT_V2, ENC_DICTIONARY_V2):
-        raise NotImplementedError(
-            f"column {col}: RLEv1 encoding {enc} not supported (DIRECT_V2 "
-            "is what modern writers emit)")
-    return rlev2.decode(cur.stream(col, kind), n, signed=signed)
+    return cur.ints(col, kind, n, signed)
+
+
+# ------------------------------------------------------------ row-index seek
+# ROW_INDEX stream = RowIndex{repeated RowIndexEntry{packed uint64
+# positions, stats}}; one entry per row group (footer rowIndexStride rows).
+# Positions are recorded per data stream in writer order — PRESENT first,
+# then the kind's streams — with a per-stream shape of:
+#   [byte offset]                    uncompressed stream
+#   [chunk offset, decompressed off] compressed stream
+# plus codec state: RLEv2/byte-RLE append "values to consume from the run
+# at that offset"; boolean RLE appends byte-RLE consumed + bit offset; raw
+# byte streams (string/binary DATA, float/double, decimal varints) append
+# nothing. (Reference positions layout orc/stream/writer.go:29-41; seek
+# consumption orc/reader.go:199-212, orc/column/reader.go:81-100.)
+
+_POS_RLE, _POS_BYTE, _POS_BOOL, _POS_RAW = range(4)
+_POS_EXTRAS = {_POS_RLE: 1, _POS_BYTE: 1, _POS_BOOL: 2, _POS_RAW: 0}
+
+
+def _parse_row_index(raw) -> list[list[int]]:
+    """ROW_INDEX stream bytes -> positions per row-group entry (per-group
+    statistics are ignored here; pruning uses the stripe/file stats)."""
+    return [_fpacked_u32(pb_fields(e), 1) for e in pb_fields(raw).get(1, [])]
+
+
+def _position_streams(kind: int, enc: int,
+                      has_present: bool) -> list[tuple[int, int]]:
+    """(stream kind, codec tag) in the order writers record positions."""
+    out: list[tuple[int, int]] = []
+    if has_present:
+        out.append((PRESENT, _POS_BOOL))
+    if kind in (T_SHORT, T_INT, T_LONG, T_DATE):
+        out.append((DATA, _POS_RLE))
+    elif kind == T_BOOLEAN:
+        out.append((DATA, _POS_BOOL))
+    elif kind == T_BYTE:
+        out.append((DATA, _POS_BYTE))
+    elif kind in (T_FLOAT, T_DOUBLE):
+        out.append((DATA, _POS_RAW))
+    elif kind in (T_STRING, T_VARCHAR, T_CHAR, T_BINARY):
+        if enc in (ENC_DICTIONARY, ENC_DICTIONARY_V2):
+            out.append((DATA, _POS_RLE))  # dict contents are stripe-global
+        else:
+            out += [(DATA, _POS_RAW), (LENGTH, _POS_RLE)]
+    elif kind == T_TIMESTAMP:
+        out += [(DATA, _POS_RLE), (SECONDARY, _POS_RLE)]
+    elif kind == T_DECIMAL:
+        out += [(DATA, _POS_RAW), (SECONDARY, _POS_RLE)]
+    elif kind in (T_LIST, T_MAP):
+        out.append((LENGTH, _POS_RLE))
+    return out  # struct: PRESENT only
+
+
+class _SeekCursor(_StripeCursor):
+    """Serves stream WINDOWS starting at row group `g0` from ROW_INDEX
+    positions: only the chunks from the group's recorded offset through
+    the needed byte count are decompressed, and the recorded run/bit skips
+    are applied after decode — a point read touches KBs of a multi-MB
+    stripe (asserted in tests)."""
+
+    def __init__(self, data: bytes, stripe: dict, sf: dict, comp: int,
+                 types: list[dict], g0: int, metrics: dict | None = None):
+        super().__init__(data, stripe, sf, comp, metrics)
+        self.base: dict[tuple[int, int], tuple] = {}
+        self.skip: dict[tuple[int, int], tuple] = {}
+        n_base = 1 if comp == COMP_NONE else 2
+        for col in range(len(types)):
+            if not self.has(col, ROW_INDEX):
+                continue
+            entries = _parse_row_index(self.stream(col, ROW_INDEX))
+            if g0 >= len(entries):
+                raise ValueError(
+                    f"row group {g0} out of range for column {col} "
+                    f"({len(entries)} ROW_INDEX entries)")
+            pos = entries[g0]
+            i = 0
+            for skind, tag in _position_streams(
+                    types[col]["kind"], self.encodings[col]["kind"],
+                    self.has(col, PRESENT)):
+                if not self.has(col, skind):
+                    continue
+                self.base[(col, skind)] = tuple(pos[i:i + n_base])
+                i += n_base
+                nx = _POS_EXTRAS[tag]
+                self.skip[(col, skind)] = tuple(pos[i:i + nx])
+                i += nx
+            if i != len(pos):
+                raise NotImplementedError(
+                    f"ROW_INDEX positions for column {col}: consumed {i} "
+                    f"of {len(pos)} — stream layout differs from the "
+                    "writer conventions this seek path knows")
+
+    def _window(self, col: int, skind: int, need: int) -> bytes:
+        off, ln = self.loc[(col, skind)]
+        base = self.base[(col, skind)]
+        if self.comp == COMP_NONE:
+            start = off + base[0]
+            w = self.data[start:min(off + ln, start + need)]
+            self._count(len(w))
+            return bytes(w)
+        chunk_off, dskip = base
+        out = _decompress(self.data[off + chunk_off:off + ln], self.comp,
+                          limit=dskip + need)
+        self._count(len(out))
+        return out[dskip:]
+
+    # -- typed accessors: decode skip+n from the window, drop the skip ----
+    def present(self, col: int, n_rows: int):
+        if not self.has(col, PRESENT):
+            return None
+        by, bit = self.skip[(col, PRESENT)]
+        sk = by * 8 + bit
+        w = self._window(col, PRESENT, (sk + n_rows) // 4 + 64)
+        return boolrle.decode_prefix(w, sk + n_rows)[sk:]
+
+    def ints(self, col: int, kind: int, n: int, signed: bool) -> np.ndarray:
+        self._check_rlev2(col)
+        (sk,) = self.skip[(col, kind)]
+        w = self._window(col, kind, 12 * (sk + n) + 4096)
+        return rlev2.decode_prefix(w, sk + n, signed=signed)[sk:]
+
+    def bools(self, col: int, n: int) -> np.ndarray:
+        by, bit = self.skip[(col, DATA)]
+        sk = by * 8 + bit
+        w = self._window(col, DATA, (sk + n) // 4 + 64)
+        return boolrle.decode_prefix(w, sk + n)[sk:]
+
+    def bytes_rle(self, col: int, n: int) -> np.ndarray:
+        (sk,) = self.skip[(col, DATA)]
+        w = self._window(col, DATA, 2 * (sk + n) + 64)
+        return byterle.decode_prefix(w, sk + n)[sk:]
+
+    def raw(self, col: int, kind: int, nbytes: int) -> bytes:
+        return self._window(col, kind, nbytes)
 
 
 def _decode_big_svarints(raw: bytes, count: int) -> list[int]:
@@ -350,10 +521,6 @@ def _decode_big_svarints(raw: bytes, count: int) -> list[int]:
     return out
 
 
-def _present_mask(cur: _StripeCursor, col: int, n_rows: int):
-    if cur.has(col, PRESENT):
-        return boolrle.decode(cur.stream(col, PRESENT), n_rows)
-    return None
 
 
 def _take_spread(values: pa.Array, mask) -> pa.Array:
@@ -370,7 +537,7 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
                    include: set[int] | None = None) -> pa.Array:
     t = types[col]
     kind = t["kind"]
-    mask = _present_mask(cur, col, n_rows)
+    mask = cur.present(col, n_rows)
     n_vals = int(mask.sum()) if mask is not None else n_rows
 
     if kind == T_STRUCT:
@@ -420,10 +587,10 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
         return _take_spread(dense, mask)
 
     if kind == T_BOOLEAN:
-        bits = boolrle.decode(cur.stream(col, DATA), n_vals)
+        bits = cur.bools(col, n_vals)
         vals = pa.array(bits, type=pa.bool_())
     elif kind == T_BYTE:
-        b = byterle.decode(cur.stream(col, DATA), n_vals)
+        b = cur.bytes_rle(col, n_vals)
         vals = pa.array(b.view(np.int8), type=pa.int8())
     elif kind in (T_SHORT, T_INT, T_LONG):
         ints = _read_ints(cur, col, n_vals, DATA, signed=True)
@@ -442,10 +609,11 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
         # real ORC writers emit little-endian float32; the reference's
         # big-endian float32 (orc/encoding/float.go:27) is its own quirk,
         # kept only in the engine's internal format for vector parity
-        vals = pa.array(np.frombuffer(cur.stream(col, DATA), dtype="<f4",
-                                      count=n_vals))
+        vals = pa.array(np.frombuffer(cur.raw(col, DATA, 4 * n_vals),
+                                      dtype="<f4", count=n_vals))
     elif kind == T_DOUBLE:
-        vals = pa.array(floats.decode_f64(cur.stream(col, DATA), n_vals))
+        vals = pa.array(floats.decode_f64(cur.raw(col, DATA, 8 * n_vals),
+                                          n_vals))
     elif kind in (T_STRING, T_VARCHAR, T_CHAR, T_BINARY):
         enc = cur.encodings[col]["kind"]
         out_t = pa.binary() if kind == T_BINARY else pa.utf8()
@@ -467,7 +635,7 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
             lens = _read_ints(cur, col, n_vals, LENGTH, signed=False)
             offs = np.zeros(n_vals + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
-            content = cur.stream(col, DATA)
+            content = cur.raw(col, DATA, int(offs[-1]))
             big_t = pa.large_binary() if kind == T_BINARY else pa.large_utf8()
             vals = pa.Array.from_buffers(
                 big_t, n_vals,
@@ -494,7 +662,8 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
         from goorc_spark.arrow_stripe import _decimal_from_limbs
         scales = _read_ints(cur, col, n_vals, SECONDARY, signed=True)
         prec, scale = t["precision"], t["scale"]
-        raw = cur.stream(col, DATA)
+        # varints: <=10 bytes each at precision<=18, <=19 for int128
+        raw = cur.raw(col, DATA, (10 if prec <= 18 else 19) * n_vals)
         if prec <= 18:
             mants, _ = decode_svarints(raw, n_vals)
             unscaled = mants * np.power(10, (scale - scales).clip(min=0))
@@ -591,6 +760,71 @@ def read_orc(data: bytes, columns: list[str] | None = None) -> pa.Table:
         ids = types[0]["subtypes"]
         schema = pa.schema([(n, _arrow_type(types, c))
                             for n, c in zip(names, ids)
+                            if include is None or c in include])
+        return schema.empty_table()
+    return pa.Table.from_batches(batches)
+
+
+def read_orc_rows(data: bytes, lo: int, hi: int,
+                  columns: list[str] | None = None,
+                  metrics: dict | None = None) -> pa.Table:
+    """Read rows [lo, hi) of an ORC file, seeking via ROW_INDEX when the
+    writer recorded one (VERDICT r3 #4; reference Seek path
+    orc/reader.go:199-212, orc/column/reader.go:81-100): only the row
+    groups overlapping the range are decompressed and decoded, starting at
+    each group's recorded chunk offset with the recorded run/bit skips.
+    Files without an index (including this repo's own write_orc output,
+    which emits rowIndexStride=0) fall back to whole-stripe decode +
+    slice — still stripe-pruned by the range. Pass a dict as `metrics` to
+    collect 'decompressed_bytes' (tests assert a point read touches ≪ the
+    stripe's bytes)."""
+    ps, footer = parse_tail(data)
+    types = footer["types"]
+    if types[0]["kind"] != T_STRUCT:
+        raise ValueError("ORC root type must be a struct")
+    include = _include_ids(types, columns)
+    stride = footer["row_index_stride"]
+    lo, hi = max(lo, 0), min(hi, footer["n_rows"])
+    batches = []
+    row0 = 0
+    for stripe in footer["stripes"]:
+        n = stripe["n_rows"]
+        s_lo, s_hi = max(lo - row0, 0), min(hi - row0, n)
+        row0 += n
+        if s_lo >= s_hi:
+            continue
+        foot_off = (stripe["offset"] + stripe["index_length"]
+                    + stripe["data_length"])
+        sf = parse_stripe_footer(_decompress(
+            data[foot_off:foot_off + stripe["footer_length"]],
+            ps["compression"]))
+        tz_base = _tz_base_seconds(sf["timezone"])
+        # seek only when every column that has data streams also has a
+        # ROW_INDEX stream (all-or-nothing: a positionless column would
+        # silently decode from the wrong offset)
+        indexed_cols = {s["column"] for s in sf["streams"]
+                        if s["kind"] == ROW_INDEX}
+        data_cols = {s["column"] for s in sf["streams"]
+                     if s["kind"] != ROW_INDEX}
+        use_index = stride > 0 and data_cols <= indexed_cols
+        if use_index:
+            g0 = s_lo // stride
+            start = g0 * stride
+            cur = _SeekCursor(data, stripe, sf, ps["compression"], types,
+                              g0, metrics)
+            root = _decode_column(cur, types, 0, s_hi - start, tz_base,
+                                  include)
+            root = root.slice(s_lo - start, s_hi - s_lo)
+        else:
+            cur = _StripeCursor(data, stripe, sf, ps["compression"],
+                                metrics)
+            root = _decode_column(cur, types, 0, n, tz_base, include)
+            root = root.slice(s_lo, s_hi - s_lo)
+        batches.append(pa.RecordBatch.from_struct_array(root))
+    if not batches:
+        names, ids = types[0]["field_names"], types[0]["subtypes"]
+        schema = pa.schema([(nm, _arrow_type(types, c))
+                            for nm, c in zip(names, ids)
                             if include is None or c in include])
         return schema.empty_table()
     return pa.Table.from_batches(batches)

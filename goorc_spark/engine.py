@@ -30,6 +30,8 @@ import re
 import time
 import uuid
 from dataclasses import dataclass, field
+
+import numpy as np
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -93,13 +95,38 @@ def bloom_positions(key_value) -> list[int]:
 
 
 def _build_bloom(values) -> bytes:
-    bits = bytearray(BLOOM_BITS // 8)
-    for v in values:
-        if v is None:
-            continue
-        for p in bloom_positions(v):
-            bits[p >> 3] |= 1 << (p & 7)
-    return bytes(bits)
+    """Stripe bloom bytes, vectorized (VERDICT r3 #7 — this was the last
+    Python loop in the encode hot path): the FNV-1a chain is sequential in
+    one key's BYTES but independent across keys, so iterate over byte
+    POSITIONS (max key length, ~13 for conv ids) with every key as a
+    uint64 lane. numpy uint64 arithmetic wraps mod 2^64, which is exactly
+    the scalar (& _U64) math; bit-exact with bloom_positions, pinned by
+    tests/test_bloom.py::test_build_bloom_matches_scalar."""
+    enc = [str(v).encode("utf-8") for v in values if v is not None]
+    if not enc:
+        return bytes(BLOOM_BITS // 8)
+    n = len(enc)
+    lens = np.fromiter((len(b) for b in enc), np.int64, count=n)
+    width = int(lens.max())
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    valid = np.arange(width)[None, :] < lens[:, None]
+    mat = np.zeros((n, width), dtype=np.uint8)
+    idx = starts[:, None] + np.arange(width)[None, :]
+    mat[valid] = flat[idx[valid]]
+    prime = np.uint64(_FNV_PRIME)
+    h1 = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(width):
+        m = valid[:, j]
+        h1[m] = (h1[m] ^ mat[m, j].astype(np.uint64)) * prime
+    h2 = h1.copy()
+    for b in b"goorc-bloom":
+        h2 = (h2 ^ np.uint64(b)) * prime
+    h2 |= np.uint64(1)
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    for i in range(BLOOM_K):
+        bits[(h1 + np.uint64(i) * h2) % np.uint64(BLOOM_BITS)] = True
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 @dataclass

@@ -1409,34 +1409,74 @@ def write_orc(table: pa.Table, compression: str = "zlib",
     return bytes(body)
 
 
-def write_orc_files(df, path: str, compression: str = "zlib",
-                    stripe_rows: int = 1_000_000) -> None:
-    """Distributed native ORC write: each partition serializes its rows
-    with `write_orc` and lands one `part-*.orc` file under `path` — the
-    Spark-shaped version of the reference writer's file lifecycle
-    (orc/writer.go). No JVM ORC code anywhere in the path."""
-    import os
-    import uuid as _uuid
+TMP_DIR = "_temporary"
 
-    os.makedirs(path, exist_ok=True)
-    schema_names = df.columns
+
+def _commit_partition(path: str, pid: int, attempt: int, batches: list,
+                      compression: str, stripe_rows: int) -> int:
+    """Task-commit protocol (VERDICT r3 #5; SCALE.md's design): serialize
+    the partition to a per-ATTEMPT temp file under `_temporary/`, then
+    atomically rename onto the deterministic per-PARTITION final name. A
+    retried or speculatively duplicated task renames the same content onto
+    the same target (os.replace is atomic), so the directory never holds
+    two files for one partition and never exposes a half-written file;
+    dead attempts' temp files are swept by the driver after the job."""
+    import os
+
+    if not batches:
+        return 0
+    tbl = pa.Table.from_batches(batches)
+    data = write_orc(tbl, compression=compression, stripe_rows=stripe_rows)
+    name = f"part-{pid:05d}.orc"
+    tmp = os.path.join(path, TMP_DIR,
+                       f"{name}.attempt-{attempt}.inprogress")
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, os.path.join(path, name))
+    return tbl.num_rows
+
+
+def write_orc_files(df, path: str, compression: str = "zlib",
+                    stripe_rows: int = 1_000_000) -> dict:
+    """Distributed native ORC write: each partition serializes its rows
+    with `write_orc` and lands one `part-<partition>.orc` file under
+    `path` — the Spark-shaped version of the reference writer's file
+    lifecycle (orc/writer.go), with a two-phase commit: tasks write
+    attempt-unique temp files and atomically rename (see
+    _commit_partition); the driver then sweeps `_temporary/` and records a
+    `_SUCCESS` manifest (file list + row counts; Spark/most readers skip
+    underscore-prefixed files). Returns the manifest dict. No JVM ORC
+    code anywhere in the path."""
+    import json as _json
+    import os
+    import shutil
+
+    os.makedirs(os.path.join(path, TMP_DIR), exist_ok=True)
 
     def dump(batches):
-        import pyarrow as pa
+        from pyspark import TaskContext
 
-        rows = [b for b in batches]
-        if rows:
-            tbl = pa.Table.from_batches(rows)
-            data = write_orc(tbl, compression=compression,
-                             stripe_rows=stripe_rows)
-            name = f"part-{_uuid.uuid4().hex[:12]}.orc"
-            with open(os.path.join(path, name), "wb") as f:
-                f.write(data)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        n = _commit_partition(path, pid, attempt, list(batches),
+                              compression, stripe_rows)
         yield pa.RecordBatch.from_pydict(
-            {"rows": pa.array([sum(b.num_rows for b in rows)],
-                              pa.int64())})
+            {"pid": pa.array([pid], pa.int64()),
+             "rows": pa.array([n], pa.int64())})
 
-    df.mapInArrow(dump, "rows long").agg({"rows": "sum"}).collect()
+    parts = df.mapInArrow(dump, "pid long, rows long").collect()
+    # driver commit: sweep dead attempts, then publish the manifest
+    # (by-pid dict: a speculative duplicate task reports the same
+    # partition twice but committed the same single file)
+    shutil.rmtree(os.path.join(path, TMP_DIR), ignore_errors=True)
+    by_pid = {int(r.pid): int(r.rows) for r in parts if r.rows}
+    manifest = {"files": [{"name": f"part-{p:05d}.orc", "rows": n}
+                          for p, n in sorted(by_pid.items())],
+                "total_rows": sum(by_pid.values())}
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        _json.dump(manifest, f)
+    return manifest
 
 
 # ------------------------------------------------------- splittable scan

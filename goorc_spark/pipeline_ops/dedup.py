@@ -500,7 +500,8 @@ def verify_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
 
 def dedup_components(docs: DataFrame, n: int = 3,
                      threshold: float = 0.8, max_iters: int = 20,
-                     pair_source: str = "auto") -> DataFrame:
+                     pair_source: str = "auto",
+                     method: str = "propagate") -> DataFrame:
     """Transitive near-duplicate clusters: connected components over the
     exact-Jaccard pair graph, labels = min doc_id reachable. Iterative
     min-label propagation (each round: every node takes the min of its own
@@ -508,9 +509,10 @@ def dedup_components(docs: DataFrame, n: int = 3,
     driver loop checks ONE scalar per round (changed-count) and is bounded
     by max_iters — at 10^9 docs near-dup components are shallow (dup
     clusters, not social graphs), so diameter stays small; for adversarial
-    chains switch to large-star/small-star (same join shape, O(log n)
-    rounds). Returns (doc_id, component) for every document; singletons are
-    their own component.
+    chains pass method='star' (large-star/small-star, O(log n) rounds
+    independent of diameter — see connected_components). Returns
+    (doc_id, component) for every document; singletons are their own
+    component.
 
     `pair_source`: 'exact' (prefix-filtered Jaccard — the oracle-exact
     edge set), 'lsh' (minhash_lsh_pairs CANDIDATES verified against the
@@ -530,6 +532,32 @@ def dedup_components(docs: DataFrame, n: int = 3,
         cand = minhash_lsh_pairs(docs, shingle=n).select("doc_a", "doc_b")
         pairs = verify_jaccard_pairs(docs, cand, n=n, threshold=threshold) \
             .select("doc_a", "doc_b")
+    return connected_components(docs, pairs, method=method,
+                                max_iters=max_iters)
+
+
+def connected_components(docs: DataFrame, pairs: DataFrame,
+                         method: str = "propagate",
+                         max_iters: int = 20) -> DataFrame:
+    """(doc_id, component) labels over an undirected pair graph
+    (component = min reachable doc_id; singletons label themselves).
+
+    method='propagate' — min-label propagation, one round per hop:
+    converges in <= graph-diameter rounds, the right default for near-dup
+    graphs (dup clusters are shallow, not social graphs).
+    method='star' — alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round halves
+    component tree heights, so rounds are O(log n) INDEPENDENT of
+    diameter — the adversarial-chain fallback (VERDICT r3 #8; a 1000-link
+    chain converges in ~10 rounds where propagation needs 1000,
+    tests/test_dedup_scale.py::test_star_components_long_chain)."""
+    if method == "star":
+        return _cc_star(docs, pairs, max_iters)
+    return _cc_propagate(docs, pairs, max_iters)
+
+
+def _cc_propagate(docs: DataFrame, pairs: DataFrame,
+                  max_iters: int) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))).distinct().cache()
@@ -560,3 +588,57 @@ def dedup_components(docs: DataFrame, n: int = 3,
         if changed == 0:
             break
     return labels
+
+
+def _cc_star(docs: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is
+    fixed (then the graph is a union of stars centered at each component's
+    min). Every step is an equi-join + groupBy min — the same shuffle
+    shape as one propagation round — but the round COUNT is logarithmic in
+    component size regardless of diameter. Edge state is localCheckpointed
+    per round: the edge set shrinks toward one edge per non-min node, and
+    the plan would otherwise grow by four joins per round."""
+    e = (pairs.filter(F.col("doc_a") != F.col("doc_b"))
+         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .distinct().localCheckpoint()
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        # LARGE-STAR: per node u, m = min(neighbors ∪ {u}); every neighbor
+        # v > u re-attaches to m. (Processing the symmetric set covers each
+        # undirected edge from both endpoints.)
+        mins = (e.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", "u").alias("m")))
+        large = (e.join(mins, "u").filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .distinct())
+        # SMALL-STAR: orient each edge large->small; per node u, m = min of
+        # its smaller neighbors; those neighbors and u itself attach to m.
+        dird = (large.select(F.greatest("a", "b").alias("u"),
+                             F.least("a", "b").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+        mins2 = dird.groupBy("u").agg(F.min("v").alias("m"))
+        small = (dird.join(mins2, "u")
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .union(mins2.select(F.col("u").alias("a"),
+                                     F.col("m").alias("b")))
+                 .filter(F.col("a") != F.col("b")).distinct())
+        new = small.union(small.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b"))) \
+            .distinct() \
+            .select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .localCheckpoint()
+        new_n = new.count()
+        converged = (new_n == n_edges
+                     and new.exceptAll(e).limit(1).count() == 0)
+        e, n_edges = new, new_n
+        if converged:
+            break
+    comp = (e.groupBy("u").agg(F.min("v").alias("nbr_min"))
+            .withColumnRenamed("u", "doc_id"))
+    return (docs.select("doc_id").join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.least("doc_id", F.coalesce("nbr_min", "doc_id"))
+                     .alias("component")))

@@ -170,3 +170,19 @@ def test_read_where_id_pushdown_from_file_scan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert ("DataFilters: [stripe_id" in plan
             or "DataFilters: [isnotnull(stripe_id" in plan), plan[:800]
+
+
+def test_build_bloom_matches_scalar():
+    """The vectorized FNV bloom builder is bit-exact with the scalar
+    probe math (encode writes with the former, queries probe with the
+    latter — a single differing bit would wrongly skip a stripe)."""
+    vals = (["conv-%08d" % i for i in range(2000)]
+            + list(range(-50, 4000, 7)) + ["", "é漢字", "x" * 300])
+    got = engine._build_bloom(vals)
+    bits = bytearray(engine.BLOOM_BITS // 8)
+    for v in vals:
+        for p in engine.bloom_positions(v):
+            bits[p >> 3] |= 1 << (p & 7)
+    assert got == bytes(bits)
+    assert engine._build_bloom([None]) == bytes(engine.BLOOM_BITS // 8)
+    assert engine._build_bloom([None, 7]) == engine._build_bloom([7])

@@ -599,3 +599,38 @@ def test_row_index_seek_multi_stripe_and_fallback(spark, tmp_path):
     # empty + clamped ranges
     assert on.read_orc_rows(data, 29_999, 10**9).num_rows == 1
     assert on.read_orc_rows(data, 5, 5).num_rows == 0
+
+
+def test_write_orc_files_commit_protocol(spark, tmp_path):
+    """VERDICT r3 #5 done-criterion: a double-executed task (retry or
+    speculation) must not leave duplicate files. Simulate by committing
+    the same partition twice with different attempt ids, plus a dead
+    attempt that never renamed; after the driver sweep the directory
+    holds exactly one file per partition and the manifest matches."""
+    import json
+    import os
+    t = pa.table({"x": pa.array(range(1000), type=pa.int64())})
+    d = tmp_path / "commit"
+    (d / on.TMP_DIR).mkdir(parents=True)
+    batches = t.to_batches()
+    # attempt 7 and its retry 8 both execute fully
+    assert on._commit_partition(str(d), 3, 7, batches, "zlib", 500) == 1000
+    assert on._commit_partition(str(d), 3, 8, batches, "zlib", 500) == 1000
+    # a third attempt dies before rename: temp file remains
+    dead = d / on.TMP_DIR / "part-00003.orc.attempt-9.inprogress"
+    dead.write_bytes(b"partial")
+    orc_files = [f for f in os.listdir(d) if f.endswith(".orc")]
+    assert orc_files == ["part-00003.orc"]
+    assert on.read_orc((d / "part-00003.orc").read_bytes()).equals(t)
+    # end-to-end: the full writer sweeps _temporary and writes _SUCCESS
+    df = spark.range(5000).selectExpr("id", "id * 2 AS y").repartition(4)
+    out = tmp_path / "full"
+    manifest = on.write_orc_files(df, str(out))
+    assert not (out / on.TMP_DIR).exists()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".orc"))
+    assert files == [f["name"] for f in manifest["files"]]
+    assert manifest["total_rows"] == 5000
+    assert json.loads((out / "_SUCCESS").read_text()) == manifest
+    back = on.read_orc_files(spark, str(out) + "/part-*.orc")
+    assert back.count() == 5000
+    assert spark.read.orc(str(out)).count() == 5000  # JVM skips _SUCCESS

@@ -548,6 +548,22 @@ def main() -> None:
             sec, _ = timed(fn)
             queries[name] = round(sec, 3)
 
+        # side-by-side dot implementations (VERDICT r3 #9): the embedding
+        # legs re-run with the pandas/BLAS dot; outputs are pinned
+        # identical by tests/test_dedup_scale.py, this records the speed
+        similarity.set_dot_impl("pandas")
+        try:
+            dot_legs = {}
+            for name in ("dedup_embedding_lsh", "ann_cosine_topk",
+                         "ann_lsh_topk", "ann_pairwise_topk_lsh"):
+                sec, _ = timed(pipeline[name])
+                dot_legs[name] = {
+                    "sql_sec": queries[name], "pandas_sec": round(sec, 3),
+                    "speedup": round(queries[name] / sec, 2) if sec else None}
+        finally:
+            similarity.set_dot_impl("sql")
+        extras["dot_impl"] = dot_legs
+
         # ---- dedup growth leg (VERDICT r2 #10): the bucketed dedup paths
         # at 10x input (sf1-equivalent). The 10x corpus is synthesized
         # deterministically from the sf documents: copy i Caesar-rotates
@@ -612,7 +628,15 @@ def main() -> None:
         "kernel_scaling_efficiency": extras["kernel_scaling"]["efficiency"],
         "detail": extras,
     }
-    print(json.dumps(out))
+    # full record -> sidecar file; stdout gets the SMALL line (VERDICT r3
+    # #2: the r3 one-line JSON outgrew the driver's tail capture, leaving
+    # BENCH_r03 with parsed:null and a mid-line tail)
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_detail.json")
+    with open(sidecar, "w") as f:
+        json.dump(out, f, indent=1)
+    small = {k: v for k, v in out.items() if k != "detail"}
+    small["detail_file"] = sidecar
+    print(json.dumps(small))
 
 
 if __name__ == "__main__":

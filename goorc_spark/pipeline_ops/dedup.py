@@ -353,9 +353,7 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
     from goorc_spark.pipeline_ops import similarity
 
     b = similarity.hyperplane_buckets(embeddings, anchor_ids)
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    dot = similarity._dot  # honors set_dot_impl (sql oracle / pandas BLAS)
     e = b.select("vec_id", "embedding", "bucket",
                  F.sqrt(dot(F.col("embedding"), F.col("embedding")))
                   .alias("nrm"))
@@ -381,9 +379,9 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
     (the linear count is noise next to the n^2 join it prevents)."""
     _guard_exact_baseline(embeddings, "embedding_near_dup",
                           "embedding_near_dup_lsh", force)
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    from goorc_spark.pipeline_ops import similarity
+
+    dot = similarity._dot  # honors set_dot_impl (sql oracle / pandas BLAS)
     norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
     e = embeddings.select("vec_id", "embedding",
                           norm(F.col("embedding")).alias("nrm"))

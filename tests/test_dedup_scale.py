@@ -268,3 +268,33 @@ def test_star_equals_propagate_on_real_docs(spark):
     a = dedup.connected_components(docs, pairs, method="propagate")
     b = dedup.connected_components(docs, pairs, method="star")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pandas_dot_impl_identical_outputs(spark):
+    """VERDICT r3 #9: the BLAS pandas-UDF dot behind set_dot_impl('pandas')
+    produces outputs identical to the interpreted SQL fold on every
+    embedding op (after the ops' round(,6) — the reason the oracle twin
+    stays 'sql' is bit-order of summation, not values at this precision)."""
+    from goorc_spark.pipeline_ops import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def run_all():
+        return {
+            "cos": similarity.cosine_topk(embs).collect(),
+            "lsh": similarity.lsh_ann_topk(embs).collect(),
+            "ivf": similarity.ivf_topk(embs).collect(),
+            "pair": similarity.pairwise_topk_per_label_lsh(embs).collect(),
+            "nd": sorted(map(tuple, dedup.embedding_near_dup_lsh(
+                embs, threshold=0.35).collect())),
+        }
+
+    base = run_all()
+    similarity.set_dot_impl("pandas")
+    try:
+        fast = run_all()
+    finally:
+        similarity.set_dot_impl("sql")
+    assert base == fast
+    with pytest.raises(ValueError):
+        similarity.set_dot_impl("blas3")

@@ -1130,10 +1130,16 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
                           streams: list, encodings: dict,
                           types: list | None = None,
                           tz: tuple[int, str] = (EPOCH_2015_S, "UTC"),
-                          stats: dict | None = None) -> None:
+                          stats: dict | None = None,
+                          force_present: frozenset = frozenset(),
+                          allow_dict: bool = True) -> None:
     """Append (col_id, kind, raw_bytes) entries for one column (recursing
     into nested children); record the column's encoding and, when `stats`
-    is given, the column's typed statistics."""
+    is given, the column's typed statistics. `force_present` lists columns
+    that must emit a PRESENT stream even with zero nulls (row-group
+    segments of a stripe where OTHER groups have nulls — the stream set
+    must be identical across segments); `allow_dict=False` pins strings to
+    DIRECT_V2 (per-group dictionaries would diverge between segments)."""
     kind = node["kind"]
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     n = len(arr)
@@ -1141,6 +1147,9 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
     if arr.null_count:
         mask = np.asarray(arr.is_valid())
         streams.append((col_id, PRESENT, boolrle.encode(mask)))
+    elif col_id in force_present:
+        streams.append((col_id, PRESENT,
+                        boolrle.encode(np.ones(n, dtype=bool))))
     vals = arr.drop_null() if arr.null_count else arr
     if stats is not None:
         stats[col_id] = _node_stats(arr, vals, kind, node)
@@ -1254,9 +1263,9 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
         v = vals.cast(out_cast)
         n_vals = len(v)
         distinct = 0
-        if kind == T_STRING and n_vals:
+        if kind == T_STRING and n_vals and allow_dict:
             distinct = len(pc.unique(v))
-        if (kind == T_STRING and n_vals
+        if (kind == T_STRING and n_vals and allow_dict
                 and distinct / n_vals <= DICT_MAX_RATIO):
             dict_arr = pc.unique(v).sort()
             idx = pc.index_in(v, value_set=dict_arr)
@@ -1302,10 +1311,97 @@ def _svarint_big(v: int) -> bytes:
     return _uvarint_bytes(u)
 
 
+def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
+                   tzctx: tuple, stride: int):
+    """One stripe encoded in row-group SEGMENTS: every codec restarts at
+    each group start and compression chunks flush there too, so ROW_INDEX
+    positions are always (segment offset[, 0 decompressed skip], 0 value/
+    bit skips) — exactly the layout _SeekCursor consumes (a spec-conformant
+    degenerate case of the general positions the JVM writer records;
+    reference index write path orc/stripe.go:84-120). Returns
+    (index_streams, data_streams, encodings, stripe_stats), each stream
+    already compression-packed. Flat schemas only; strings pin to
+    DIRECT_V2 (per-group dictionaries would diverge); PRESENT is forced on
+    every segment of a column that has nulls anywhere in the stripe (the
+    segment stream sets must be identical to concatenate)."""
+    if any(t["kind"] in (T_STRUCT, T_LIST, T_MAP) for t in types[1:]):
+        raise NotImplementedError(
+            "row_index_stride supports flat schemas only in this writer "
+            "(per-group child alignment for nested types not implemented);"
+            " use row_index_stride=0 for nested schemas")
+    if stride % 8:
+        raise ValueError("row_index_stride must be a multiple of 8 "
+                         "(PRESENT/boolean bit runs restart per group)")
+    root0 = types[0]
+    force = frozenset(cid for i, cid in enumerate(root0["subtypes"])
+                      if sub.column(i).null_count > 0)
+    encodings: dict = {}
+    seg_streams: list[list] = []
+    seg_stats: list[dict] = []
+    n = sub.num_rows
+    for gs in range(0, max(n, 1), stride):
+        g = sub.slice(gs, stride)
+        root = pa.RecordBatch.from_arrays(
+            [g.column(i).combine_chunks() for i in range(g.num_columns)],
+            schema=g.schema)
+        struct_arr = pa.StructArray.from_arrays(
+            [root.column(i) for i in range(root.num_columns)],
+            names=list(g.schema.names))
+        s: list = []
+        st: dict = {}
+        _write_column_streams(struct_arr, 0, types[0], s, encodings,
+                              types, tzctx, st, force, allow_dict=False)
+        seg_streams.append(s)
+        seg_stats.append(st)
+        if n == 0:
+            break
+    keys = [(c, k) for c, k, _ in seg_streams[0]]
+    # compress each segment separately and record its stream-local offset
+    packed: dict = {}
+    offsets: dict = {}
+    for key in keys:
+        segs, offs, pos = [], [], 0
+        for s in seg_streams:
+            raw = next(b for c, k, b in s if (c, k) == key)
+            pk = _compress_stream(raw, comp, block)
+            offs.append(pos)
+            pos += len(pk)
+            segs.append(pk)
+        packed[key] = b"".join(segs)
+        offsets[key] = offs
+    index_streams = []
+    for cid in range(len(types)):
+        layout = _position_streams(
+            types[cid]["kind"], encodings.get(cid, (ENC_DIRECT, 0))[0],
+            (cid, PRESENT) in packed)
+        entries = bytearray()
+        for gi in range(len(seg_streams)):
+            posv: list[int] = []
+            for skind, tag in layout:
+                if (cid, skind) not in packed:
+                    continue
+                posv.append(offsets[(cid, skind)][gi])
+                if comp != COMP_NONE:
+                    posv.append(0)  # offset within the decompressed chunk
+                posv.extend([0] * _POS_EXTRAS[tag])
+            entry = _pb_bytes(1, b"".join(_uvarint_bytes(p) for p in posv))
+            entry += _pb_bytes(2, _encode_col_stats(
+                types[cid]["kind"], seg_stats[gi].get(cid, {"n": 0})))
+            entries += _pb_bytes(1, entry)
+        index_streams.append((cid, ROW_INDEX,
+                              _compress_stream(bytes(entries), comp, block)))
+    data_streams = [(c, k, packed[(c, k)]) for c, k in keys]
+    stripe_stats = {cid: _merge_col_stats(
+        types[cid]["kind"], [st.get(cid, {"n": 0}) for st in seg_stats])
+        for cid in range(len(types))}
+    return index_streams, data_streams, encodings, stripe_stats
+
+
 def write_orc(table: pa.Table, compression: str = "zlib",
               stripe_rows: int = 1_000_000,
               block_size: int = 256 * 1024,
-              writer_timezone: str = "UTC") -> bytes:
+              writer_timezone: str = "UTC",
+              row_index_stride: int = 0) -> bytes:
     """Serialize an Arrow table as a real ORC v1 file using only this
     repo's codecs — the write-side mirror of `read_orc`. NONE/ZLIB,
     DIRECT_V2 everywhere RLEv2 applies, sorted DICTIONARY_V2 for
@@ -1327,26 +1423,41 @@ def write_orc(table: pa.Table, compression: str = "zlib",
         if n == 0 and start > 0:
             break
         sub = table.slice(start, min(stripe_rows, n - start)) if n else table
-        streams: list = []
-        encodings: dict = {}
-        col_stats: dict = {}
-        root = pa.RecordBatch.from_arrays(
-            [sub.column(i).combine_chunks() for i in range(sub.num_columns)],
-            schema=sub.schema)
-        struct_arr = pa.StructArray.from_arrays(
-            [root.column(i) for i in range(root.num_columns)],
-            names=list(sub.schema.names))
-        _write_column_streams(struct_arr, 0, types[0], streams, encodings,
-                              types, tzctx, col_stats)
-        stripe_stats.append(col_stats)
         offset = len(body)
-        data_len = 0
         stream_entries = []
-        for col_id, skind, raw in streams:
-            packed = _compress_stream(raw, comp, block_size)
-            body += packed
-            stream_entries.append((col_id, skind, len(packed)))
-            data_len += len(packed)
+        index_len = 0
+        data_len = 0
+        if row_index_stride:
+            idx_s, dat_s, encodings, col_stats = _stride_stripe(
+                sub, types, comp, block_size, tzctx, row_index_stride)
+            stripe_stats.append(col_stats)
+            for col_id, skind, pk in idx_s:
+                body += pk
+                stream_entries.append((col_id, skind, len(pk)))
+                index_len += len(pk)
+            for col_id, skind, pk in dat_s:
+                body += pk
+                stream_entries.append((col_id, skind, len(pk)))
+                data_len += len(pk)
+        else:
+            streams: list = []
+            encodings = {}
+            col_stats = {}
+            root = pa.RecordBatch.from_arrays(
+                [sub.column(i).combine_chunks()
+                 for i in range(sub.num_columns)],
+                schema=sub.schema)
+            struct_arr = pa.StructArray.from_arrays(
+                [root.column(i) for i in range(root.num_columns)],
+                names=list(sub.schema.names))
+            _write_column_streams(struct_arr, 0, types[0], streams,
+                                  encodings, types, tzctx, col_stats)
+            stripe_stats.append(col_stats)
+            for col_id, skind, raw in streams:
+                packed = _compress_stream(raw, comp, block_size)
+                body += packed
+                stream_entries.append((col_id, skind, len(packed)))
+                data_len += len(packed)
         sf = bytearray()
         for col_id, skind, ln in stream_entries:
             sf += _pb_bytes(1, _pb_int(1, skind) + _pb_int(2, col_id)
@@ -1360,7 +1471,7 @@ def write_orc(table: pa.Table, compression: str = "zlib",
         sf += _pb_str(3, writer_timezone)
         sf_packed = _compress_stream(bytes(sf), comp, block_size)
         body += sf_packed
-        stripe_infos.append({"offset": offset, "index_length": 0,
+        stripe_infos.append({"offset": offset, "index_length": index_len,
                              "data_length": data_len,
                              "footer_length": len(sf_packed),
                              "n_rows": sub.num_rows})
@@ -1396,7 +1507,7 @@ def write_orc(table: pa.Table, compression: str = "zlib",
             types[cid]["kind"],
             _merge_col_stats(types[cid]["kind"],
                              [cs.get(cid, {"n": 0}) for cs in stripe_stats])))
-    footer += _pb_int(8, 0)                    # rowIndexStride: no index
+    footer += _pb_int(8, row_index_stride)     # rowIndexStride (0 = none)
     footer_packed = _compress_stream(bytes(footer), comp, block_size)
     body += footer_packed
     ps = (_pb_int(1, len(footer_packed)) + _pb_int(2, comp)

@@ -634,3 +634,45 @@ def test_write_orc_files_commit_protocol(spark, tmp_path):
     back = on.read_orc_files(spark, str(out) + "/part-*.orc")
     assert back.count() == 5000
     assert spark.read.orc(str(out)).count() == 5000  # JVM skips _SUCCESS
+
+
+@pytest.mark.parametrize("comp", ["none", "zlib"])
+def test_native_writer_row_index(spark, tmp_path, comp):
+    """write_orc(row_index_stride=N): codecs restart and chunks flush at
+    group starts, so positions are (segment offset, 0 skips) — a
+    spec-conformant degenerate layout. Our own seek path, pyarrow, AND the
+    JVM reader all consume the files; a point read touches a small
+    fraction of the stripe."""
+    n = 20_000
+    t = pa.table({
+        "x": pa.array(range(n), type=pa.int64()),
+        "s": pa.array([f"val{i:06d}" if i % 11 else None for i in range(n)]),
+        "b": pa.array([i % 3 == 0 for i in range(n)]),
+        "dec": pa.array([decimal.Decimal(i) / 100 for i in range(n)],
+                        type=pa.decimal128(12, 2)),
+    })
+    data = on.write_orc(t, compression=comp, stripe_rows=10_000,
+                        row_index_stride=1000)
+    _, footer = on.parse_tail(data)
+    assert footer["row_index_stride"] == 1000
+    assert all(s["index_length"] > 0 for s in footer["stripes"])
+    assert on.read_orc(data).cast(t.schema).equals(t)
+    m, mf = {}, {}
+    on.read_orc_rows(data, 0, n, metrics=mf)
+    got = on.read_orc_rows(data, 14_321, 14_654, metrics=m)
+    assert got.cast(t.schema).equals(t.slice(14_321, 333))
+    assert m["decompressed_bytes"] < 0.25 * mf["decompressed_bytes"]
+    assert po.read_table(io.BytesIO(data)).cast(t.schema).equals(t)
+    d = tmp_path / "nwidx"
+    d.mkdir()
+    (d / "part-0.orc").write_bytes(data)
+    jvm = spark.read.orc(str(d))
+    assert jvm.count() == n
+    assert jvm.filter("x = 14321").collect()[0].s == "val014321"
+    # guards: nested refused, stride must be a multiple of 8
+    with pytest.raises(NotImplementedError, match="flat schemas"):
+        on.write_orc(pa.table({"l": pa.array([[1]],
+                                             type=pa.list_(pa.int64()))}),
+                     row_index_stride=1000)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        on.write_orc(t, row_index_stride=1001)

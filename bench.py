@@ -282,18 +282,26 @@ def _kernel_work(_):
     return len(_KERNEL_PDF)
 
 
-def kernel_scaling(n_small: int, n_big: int) -> dict:
-    """Pure-multiprocessing encode scaling (no JVM sharing the cores)."""
+def kernel_scaling(n_small: int, n_big: int, attempts: int = 3) -> dict:
+    """Pure-multiprocessing encode scaling (no JVM sharing the cores).
+    Three attempts per leg recorded in-artifact, MEDIAN throughput is the
+    headline (VERDICT r3 #3: the recorded r3 artifact caught one noisy
+    window — single-shot legs can't show that)."""
     import multiprocessing as mp
+    import statistics
 
     out = {}
     for procs in (n_small, n_big):
+        rates = []
         with mp.Pool(procs, initializer=_kernel_init) as p:
             p.map(_kernel_work, range(procs))  # warm
-            t0 = time.monotonic()
-            rows = sum(p.map(_kernel_work, range(procs * 4)))
-            wall = time.monotonic() - t0
-        out[f"procs_{procs}"] = {"turns_per_sec": round(rows / wall)}
+            for _ in range(attempts):
+                t0 = time.monotonic()
+                rows = sum(p.map(_kernel_work, range(procs * 4)))
+                rates.append(round(rows / (time.monotonic() - t0)))
+        out[f"procs_{procs}"] = {
+            "turns_per_sec": round(statistics.median(rates)),
+            "attempts": rates, "headline": "median-of-3"}
     eff = (out[f"procs_{n_big}"]["turns_per_sec"]
            / out[f"procs_{n_small}"]["turns_per_sec"]) / (n_big / n_small)
     out["efficiency"] = round(eff, 3)
@@ -415,15 +423,22 @@ def main() -> None:
         # probe), best-of-2 against scheduler noise
         warm_python_workers(spark, CPUS)
 
-        sec, agg = timed(lambda: encode_job(spark, df, 2 * CPUS))
-        sec2, agg = timed(lambda: encode_job(spark, df, 2 * CPUS))
-        sec = min(sec, sec2)
+        # throughput legs: THREE attempts each, all recorded in-artifact,
+        # MEDIAN is the headline (VERDICT r3 #3 — a single noisy window
+        # must be visible as such, and min-selection has the same bias the
+        # scaling leg's max-selection had)
+        def median3(fn):
+            runs = sorted((timed(fn) for _ in range(3)), key=lambda r: r[0])
+            return runs[1][0], runs[1][1], [round(r[0], 3) for r in runs]
+
+        sec, agg, att = median3(lambda: encode_job(spark, df, 2 * CPUS))
         queries["encode_transcripts"] = round(sec, 3)
         extras["encode"] = {
             "turns": n_turns, "turns_per_sec": round(n_turns / sec),
             "stripes": agg["stripes"], "raw_bytes": agg["raw"],
             "enc_bytes": agg["enc"],
             "compression_ratio": round(agg["raw"] / agg["enc"], 3),
+            "attempts_sec": att, "headline": "median-of-3",
         }
 
         # the policy="fast" frontier point (no FSST probe/compress): the
@@ -431,13 +446,13 @@ def main() -> None:
         # recorded fact (kernel A/B on this data: ~1.6x throughput for
         # ~+5pp of the ORC-oracle size ratio — both sides of the knob beat
         # the <=1.0x gate)
-        fsec, fagg = timed(lambda: encode_job(spark, df, 2 * CPUS, "fast"))
-        fsec2, fagg = timed(lambda: encode_job(spark, df, 2 * CPUS, "fast"))
-        fsec = min(fsec, fsec2)
+        fsec, fagg, fatt = median3(
+            lambda: encode_job(spark, df, 2 * CPUS, "fast"))
         queries["encode_transcripts_fast"] = round(fsec, 3)
         extras["encode_fast"] = {
             "turns_per_sec": round(n_turns / fsec), "enc_bytes": fagg["enc"],
             "compression_ratio": round(fagg["raw"] / fagg["enc"], 3),
+            "attempts_sec": fatt, "headline": "median-of-3",
         }
 
         # decode throughput (stripes materialized first, untimed)
@@ -446,14 +461,12 @@ def main() -> None:
                                   partitions=2 * CPUS, run_id="bench")
         engine.encode_df(df, cfg).write.mode("overwrite").parquet(f"{tmp}/stripes")
         stripes = spark.read.parquet(f"{tmp}/stripes")
-        sec, decoded = timed(lambda: engine.decode_df(
+        sec, decoded, datt = median3(lambda: engine.decode_df(
             stripes, transcripts.TRANSCRIPTS_SPEC).count())
-        sec2, decoded = timed(lambda: engine.decode_df(
-            stripes, transcripts.TRANSCRIPTS_SPEC).count())
-        sec = min(sec, sec2)
         queries["decode_transcripts"] = round(sec, 3)
         extras["decode"] = {"turns": decoded,
-                            "turns_per_sec": round(decoded / sec)}
+                            "turns_per_sec": round(decoded / sec),
+                            "attempts_sec": datt, "headline": "median-of-3"}
 
         # native ORC byte-format path (r3): write + read real .orc with the
         # repo's own codecs (no JVM ORC), and the JVM reader on the same

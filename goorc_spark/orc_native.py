@@ -39,7 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from goorc_spark.codecs import boolrle, byterle, floats, rlev2
+from goorc_spark.codecs import boolrle, byterle, floats, rlev1, rlev2
 from goorc_spark.codecs.primitives import (decode_svarints, decode_uvarints,
                                            encode_svarints)
 
@@ -344,12 +344,13 @@ class _StripeCursor:
         self._count(len(out))
         return out
 
-    def _check_rlev2(self, col: int) -> None:
+    def _rle(self, col: int):
+        """Integer RLE generation for this column: pre-0.12 writers mark
+        DIRECT/DICTIONARY (v1), modern ones DIRECT_V2/DICTIONARY_V2 —
+        both decode natively (reference handles both via its column
+        factory, orc/column/package.go:69-199)."""
         enc = self.encodings[col]["kind"]
-        if enc not in (ENC_DIRECT_V2, ENC_DICTIONARY_V2):
-            raise NotImplementedError(
-                f"column {col}: RLEv1 encoding {enc} not supported "
-                "(DIRECT_V2 is what modern writers emit)")
+        return rlev1 if enc in (ENC_DIRECT, ENC_DICTIONARY) else rlev2
 
     # -- typed accessors (whole-stream decode) ---------------------------
     def present(self, col: int, n_rows: int):
@@ -358,8 +359,8 @@ class _StripeCursor:
         return None
 
     def ints(self, col: int, kind: int, n: int, signed: bool) -> np.ndarray:
-        self._check_rlev2(col)
-        return rlev2.decode(self.stream(col, kind), n, signed=signed)
+        return self._rle(col).decode(self.stream(col, kind), n,
+                                     signed=signed)
 
     def bools(self, col: int, n: int) -> np.ndarray:
         return boolrle.decode(self.stream(col, DATA), n)
@@ -490,10 +491,9 @@ class _SeekCursor(_StripeCursor):
         return boolrle.decode_prefix(w, sk + n_rows)[sk:]
 
     def ints(self, col: int, kind: int, n: int, signed: bool) -> np.ndarray:
-        self._check_rlev2(col)
         (sk,) = self.skip[(col, kind)]
         w = self._window(col, kind, 12 * (sk + n) + 4096)
-        return rlev2.decode_prefix(w, sk + n, signed=signed)[sk:]
+        return self._rle(col).decode_prefix(w, sk + n, signed=signed)[sk:]
 
     def bools(self, col: int, n: int) -> np.ndarray:
         by, bit = self.skip[(col, DATA)]
@@ -617,10 +617,10 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
     elif kind in (T_STRING, T_VARCHAR, T_CHAR, T_BINARY):
         enc = cur.encodings[col]["kind"]
         out_t = pa.binary() if kind == T_BINARY else pa.utf8()
-        if enc == ENC_DICTIONARY_V2:
+        if enc in (ENC_DICTIONARY, ENC_DICTIONARY_V2):
             dict_n = cur.encodings[col]["dict_size"]
-            dlen = rlev2.decode(cur.stream(col, LENGTH), dict_n,
-                                signed=False)
+            dlen = cur._rle(col).decode(cur.stream(col, LENGTH), dict_n,
+                                        signed=False)
             doffs = np.zeros(dict_n + 1, dtype=np.int64)
             np.cumsum(dlen, out=doffs[1:])
             dict_bytes = cur.stream(col, DICTIONARY_DATA)

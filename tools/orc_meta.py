@@ -7,7 +7,8 @@ and encodings, and the file's stripe statistics.
 Usage:
     python tools/orc_meta.py <file.orc>              # summary
     python tools/orc_meta.py <file.orc> --streams    # per-stripe streams
-    python tools/orc_meta.py <file.orc> --stats      # stripe statistics
+    python tools/orc_meta.py <file.orc> --stats      # file + stripe statistics
+    python tools/orc_meta.py <file.orc> --index      # ROW_INDEX summary
 """
 
 from __future__ import annotations
@@ -52,6 +53,9 @@ def main() -> None:
     ap.add_argument("path")
     ap.add_argument("--streams", action="store_true")
     ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--index", action="store_true",
+                    help="ROW_INDEX summary per stripe (entry counts + "
+                         "first positions)")
     args = ap.parse_args()
 
     data = open(args.path, "rb").read()
@@ -81,11 +85,20 @@ def main() -> None:
                 print(f"    col {cid:>3} encoding "
                       f"{ENC_NAMES.get(e['kind'], e['kind'])}{tail}")
     if args.stats:
+        root = types[0]
+        if footer.get("col_stats"):
+            print("  file stats (footer ColumnStatistics):")
+            for name, cid in zip(root["field_names"], root["subtypes"]):
+                cs = footer["col_stats"]
+                st = cs[cid] if cid < len(cs) else {}
+                rng = (f" min={st.get('min')!r} max={st.get('max')!r}"
+                       if "min" in st else "")
+                print(f"    {name}: n={st.get('n')} "
+                      f"nulls={st.get('has_null')}{rng}")
         stats = on.parse_stripe_stats(data)
         if stats is None:
             print("no stripe statistics section")
         else:
-            root = types[0]
             for i, cols in enumerate(stats):
                 print(f"  stripe {i} stats:")
                 for name, cid in zip(root["field_names"], root["subtypes"]):
@@ -94,6 +107,25 @@ def main() -> None:
                            if "min" in st else "")
                     print(f"    {name}: n={st.get('n')} "
                           f"nulls={st.get('has_null')}{rng}")
+    if args.index:
+        for i, s in enumerate(footer["stripes"]):
+            if not s["index_length"]:
+                print(f"  stripe {i}: no ROW_INDEX streams")
+                continue
+            foot_off = (s["offset"] + s["index_length"] + s["data_length"])
+            sf = on.parse_stripe_footer(on._decompress(
+                data[foot_off:foot_off + s["footer_length"]],
+                ps["compression"]))
+            cur = on._StripeCursor(data, s, sf, ps["compression"])
+            print(f"  stripe {i} row index "
+                  f"(stride {footer['row_index_stride']}):")
+            for cid in range(len(types)):
+                if not cur.has(cid, on.ROW_INDEX):
+                    continue
+                entries = on._parse_row_index(cur.stream(cid, on.ROW_INDEX))
+                pv = entries[:3]
+                print(f"    col {cid:>3}: {len(entries)} entries, "
+                      f"positions[0:3]={pv}")
 
 
 if __name__ == "__main__":

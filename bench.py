@@ -426,8 +426,15 @@ def main() -> None:
         # throughput legs: THREE attempts each, all recorded in-artifact,
         # MEDIAN is the headline (VERDICT r3 #3 — a single noisy window
         # must be visible as such, and min-selection has the same bias the
-        # scaling leg's max-selection had)
+        # scaling leg's max-selection had). Each leg's PLAN gets one untimed
+        # warm-up run first: worker spawn is excluded by warm_python_workers
+        # above, but the first execution of a given plan additionally pays
+        # whole-stage codegen + shuffle-file + numpy allocator warmup
+        # (measured: first encode_job 3.0s, steady state 1.66s on the same
+        # session) — steady-state is the stated policy, so the one-time cost
+        # stays out of all three samples, not just diluted by the median.
         def median3(fn):
+            fn()  # untimed plan warm-up
             runs = sorted((timed(fn) for _ in range(3)), key=lambda r: r[0])
             return runs[1][0], runs[1][1], [round(r[0], 3) for r in runs]
 

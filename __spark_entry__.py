@@ -252,6 +252,31 @@ def _orc_native_write_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.filter((F.col("value") >= 10.0) & (F.col("value") <= 50.0))
 
 
+def _orc_native_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter row-group pruning on real ORC bytes (beyond the
+    reference, which has no bloom filters — grep /root/reference/orc: 0
+    hits): transcripts in NATURAL order (conv ids interleave, so stripe
+    and row-group [min,max] stats span the key space and prune NOTHING —
+    the per-row-group BLOOM_FILTER_UTF8 streams written by the repo's own
+    native writer are what skip groups), equality predicate on conv_id
+    via read_orc_stripes' task-side bloom probe, exact filter refines.
+    Hash conventions pinned against ORC C++ AND Java writers in
+    tests/test_orc_bloom.py (Hive Murmur3 64-bit for strings, SIGNED
+    Thomas Wang mix for longs); group-skip ratio asserted there too."""
+    from pyspark.sql import functions as F
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    path = "/tmp/goorc_orc_bloom_" + sf_dir.strip("/").replace("/", "_")
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    orc_native.write_orc_files(df.repartition(2), path,
+                               stripe_rows=4000, row_index_stride=1000,
+                               bloom_columns=("conv_id",))
+    got = orc_native.read_orc_stripes(
+        spark, path + "/*.orc",
+        predicate={"conv_id": ("conv-00000001", "conv-00000001")})
+    return got.filter(F.col("conv_id") == "conv-00000001")
+
+
 def _decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-layer column pruning: only the requested columns' streams
     are decompressed (reference BatchOption.Includes, orc/stripe.go:250)."""
@@ -448,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_native_pushdown": _orc_native_pushdown,
         "orc_native_write_pushdown": _orc_native_write_pushdown,
         "orc_native_row_seek": _orc_native_row_seek,
+        "orc_native_bloom_eq": _orc_native_bloom_eq,
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "point_lookup_hash": _point_lookup_hash,
@@ -709,6 +735,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE value BETWEEN 10.0 AND 50.0",
         "orc_native_row_seek":
             "SELECT * FROM events ORDER BY event_id LIMIT 642 OFFSET 3000",
+        "orc_native_bloom_eq":
+            f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
+            "WHERE conv_id = 'conv-00000001'",
         "encode_lineage": """
 SELECT count(*) AS total_rows, TRUE AS ids_unique, TRUE AS enc_positive,
        TRUE AS raw_positive, TRUE AS seq_contiguous

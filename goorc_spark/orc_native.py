@@ -510,6 +510,224 @@ class _SeekCursor(_StripeCursor):
         return self._window(col, kind, nbytes)
 
 
+# ------------------------------------------------------ bloom filter index
+# BLOOM_FILTER_UTF8 stream = BloomFilterIndex{repeated BloomFilter{
+# numHashFunctions=1, repeated fixed64 bitset=2 (legacy), utf8bitset=3}},
+# one filter per row group (public ORC v1 spec "Bloom Filter Index"). The
+# hash conventions are pinned empirically against BOTH reference writers
+# (ORC C++ via pyarrow, ORC Java via Spark) in codecs/murmur3.py — the
+# reference repo itself has no bloom filters (this exceeds it; the
+# engine-side analog is engine._build_bloom at stripe granularity).
+
+_BLOOM_STR_KINDS = frozenset((T_STRING, T_VARCHAR, T_CHAR, T_BINARY))
+_BLOOM_LONG_KINDS = frozenset((T_BYTE, T_SHORT, T_INT, T_LONG, T_DATE))
+
+
+def _parse_bloom_index(raw) -> list[tuple[int, np.ndarray]]:
+    """BLOOM_FILTER_UTF8 stream bytes -> per-row-group (k, uint64 words)."""
+    out = []
+    for b in pb_fields(raw).get(1, []):
+        bf = pb_fields(b)
+        k = _fint(bf, 1, 0)
+        if 3 in bf:
+            words = np.frombuffer(bytes(bf[3][0]), dtype="<u8")
+        elif 2 in bf:  # legacy repeated fixed64, same LE word layout
+            words = np.frombuffer(b"".join(bf[2]), dtype="<u8")
+        else:
+            words = np.empty(0, dtype=np.uint64)
+        out.append((k, words.astype(np.uint64, copy=False)))
+    return out
+
+
+def _bloom_hash_value(kind: int, value) -> int:
+    """The writer-side 64-bit hash of one predicate value for `kind`."""
+    from goorc_spark.codecs import murmur3
+
+    if kind in _BLOOM_STR_KINDS:
+        data = value.encode("utf-8") if isinstance(value, str) \
+            else bytes(value)
+        return murmur3.hash64(data)
+    if kind in _BLOOM_LONG_KINDS:
+        import datetime
+        if isinstance(value, datetime.date) \
+                and not isinstance(value, datetime.datetime):
+            value = (value - datetime.date(1970, 1, 1)).days
+        return murmur3.long_hash(int(value))
+    raise NotImplementedError(
+        "bloom equality pruning supports string/char/varchar/binary and "
+        "byte/short/int/long/date columns (the writers' long/utf8 hash "
+        f"domains); ORC type kind {kind} is not one of them")
+
+
+def _stats_eq_value(kind: int, value):
+    """Predicate value in the stats domain (dates as epoch days)."""
+    import datetime
+    if kind == T_DATE and isinstance(value, datetime.date) \
+            and not isinstance(value, datetime.datetime):
+        return (value - datetime.date(1970, 1, 1)).days
+    if kind in _BLOOM_STR_KINDS and isinstance(value, bytes):
+        try:
+            return value.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # binary stats carry no bounds anyway
+    return value
+
+
+def _row_group_stats(raw) -> list[dict]:
+    """ROW_INDEX stream bytes -> per-row-group ColumnStatistics dicts
+    (RowIndexEntry field 2; the positions parser ignores these)."""
+    out = []
+    for e in pb_fields(raw).get(1, []):
+        ef = pb_fields(e)
+        out.append(_parse_col_stats(ef[2][0]) if 2 in ef else {})
+    return out
+
+
+def _eq_keep_groups(cur: "_StripeCursor", col_id: int, kind: int, value,
+                    h64: int, n_rows: int, stride: int) -> list[bool] | None:
+    """Per-row-group keep mask for `col == value` from group stats +
+    bloom; None when the stripe has no per-group metadata to prune on."""
+    from goorc_spark.codecs import murmur3
+
+    if not stride:
+        return None
+    stats = blooms = None
+    if cur.has(col_id, ROW_INDEX):
+        stats = _row_group_stats(cur.stream(col_id, ROW_INDEX))
+    if cur.has(col_id, BLOOM_FILTER_UTF8):
+        blooms = _parse_bloom_index(cur.stream(col_id, BLOOM_FILTER_UTF8))
+    if not stats and not blooms:
+        return None
+    sv = _stats_eq_value(kind, value)
+    n_groups = -(-n_rows // stride)
+    keep = []
+    for g in range(n_groups):
+        ok = True
+        if stats and g < len(stats) and sv is not None:
+            st = stats[g]
+            mn, mx = st.get("min"), st.get("max")
+            try:
+                if (mn is not None and sv < mn) or \
+                        (mx is not None and sv > mx):
+                    ok = False
+            except TypeError:
+                pass  # cross-domain compare: keep (conservative)
+        if ok and blooms and g < len(blooms):
+            bk, words = blooms[g]
+            if bk and len(words):
+                ok = murmur3.might_contain(words, bk, h64)
+        keep.append(ok)
+    return keep
+
+
+def _decode_stripe_eq(data: bytes, stripe: dict, sf: dict, comp: int,
+                      types: list[dict], stride: int, col_id: int,
+                      value, h64: int, include: set[int] | None,
+                      metrics: dict | None) -> pa.StructArray | None:
+    """Decode only the row groups of one stripe that might hold
+    `col == value` (bloom + per-group stats, conservative). Returns the
+    UNFILTERED concatenation of surviving groups (callers apply the exact
+    filter), or None when every group was pruned."""
+    n = stripe["n_rows"]
+    tz_base = _tz_base_seconds(sf["timezone"])
+    kind = types[col_id]["kind"]
+    probe = _StripeCursor(data, stripe, sf, comp, metrics)
+    keep = _eq_keep_groups(probe, col_id, kind, value, h64, n, stride)
+    indexed = {s["column"] for s in sf["streams"] if s["kind"] == ROW_INDEX}
+    data_cols = {s["column"] for s in sf["streams"]
+                 if s["kind"] not in (ROW_INDEX, BLOOM_FILTER_UTF8,
+                                      BLOOM_FILTER)}
+    seekable = stride > 0 and data_cols <= indexed
+    if keep is not None and metrics is not None:
+        dec = 0 if not any(keep) else (sum(keep) if seekable else len(keep))
+        metrics["groups_total"] = metrics.get("groups_total", 0) + len(keep)
+        metrics["groups_decoded"] = metrics.get("groups_decoded", 0) + dec
+    if keep is None or not seekable:
+        if keep is not None and not any(keep):
+            return None
+        cur = _StripeCursor(data, stripe, sf, comp, metrics)
+        return _decode_column(cur, types, 0, n, tz_base, include)
+    if not any(keep):
+        return None
+    # coalesce consecutive surviving groups into one seek+decode window
+    parts = []
+    g = 0
+    while g < len(keep):
+        if not keep[g]:
+            g += 1
+            continue
+        g0 = g
+        while g < len(keep) and keep[g]:
+            g += 1
+        rows = min(g * stride, n) - g0 * stride
+        cur = _SeekCursor(data, stripe, sf, comp, types, g0, metrics)
+        parts.append(_decode_column(cur, types, 0, rows, tz_base, include))
+    if len(parts) == 1:
+        return parts[0]
+    # concatenate struct arrays via a table round-trip (zero-copy batches)
+    tbls = [pa.Table.from_batches([pa.RecordBatch.from_struct_array(p)])
+            for p in parts]
+    combined = pa.concat_tables(tbls).combine_chunks()
+    return combined.to_struct_array().combine_chunks()
+
+
+def read_orc_eq(data: bytes, column: str, value,
+                columns: list[str] | None = None,
+                metrics: dict | None = None) -> pa.Table:
+    """Equality point read `column == value` over one ORC file's bytes,
+    pruning at THREE levels before decoding: stripe statistics (Metadata
+    section), per-row-group statistics (ROW_INDEX entry field 2), and
+    per-row-group bloom filters (BLOOM_FILTER_UTF8) — then the exact
+    filter on the decoded groups. Files without indexes/blooms degrade to
+    whole-stripe decode + filter (still stripe-stats pruned). Pass a dict
+    as `metrics` to collect decompressed_bytes / groups_decoded (tests
+    assert a selective lookup touches ≪ the file's bytes). Reference has
+    stats-based seek/skip only (orc/stripe.go:369-388); the bloom level
+    exceeds it."""
+    ps, footer = parse_tail(data)
+    types = footer["types"]
+    root = types[0]
+    if column not in root["field_names"]:
+        raise KeyError(f"column {column!r} not in {root['field_names']}")
+    col_id = root["subtypes"][root["field_names"].index(column)]
+    kind = types[col_id]["kind"]
+    h64 = _bloom_hash_value(kind, value)
+    stride = footer["row_index_stride"]
+    include = _include_ids(types, columns)
+    dec_include = include if include is None else include | {col_id}
+    sv = _stats_eq_value(kind, value)
+    stripe_stats = parse_stripe_stats(data)
+    batches = []
+    for si, stripe in enumerate(footer["stripes"]):
+        if stripe_stats and si < len(stripe_stats) \
+                and col_id < len(stripe_stats[si]) and sv is not None \
+                and not _stats_can_match(stripe_stats[si][col_id], sv, sv):
+            continue
+        foot_off = (stripe["offset"] + stripe["index_length"]
+                    + stripe["data_length"])
+        sf = parse_stripe_footer(_decompress(
+            data[foot_off:foot_off + stripe["footer_length"]],
+            ps["compression"]))
+        arr = _decode_stripe_eq(data, stripe, sf, ps["compression"], types,
+                                stride, col_id, value, h64, dec_include,
+                                metrics)
+        if arr is not None:
+            batches.append(pa.RecordBatch.from_struct_array(arr))
+    names, ids = root["field_names"], root["subtypes"]
+    schema = pa.schema([(nm, _arrow_type(types, c))
+                        for nm, c in zip(names, ids)
+                        if dec_include is None or c in dec_include])
+    if not batches:
+        tbl = schema.empty_table()
+    else:
+        tbl = pa.Table.from_batches(batches, schema=schema)
+        import pyarrow.compute as pc
+        tbl = tbl.filter(pc.equal(tbl.column(column), value))
+    if include is not None and col_id not in include:
+        tbl = tbl.drop_columns([column])
+    return tbl
+
+
 def _decode_big_svarints(raw: bytes, count: int) -> list[int]:
     """Zigzag base-128 varints wider than 64 bits (ORC decimal mantissas
     above precision 18) as Python ints."""
@@ -1311,8 +1529,26 @@ def _svarint_big(v: int) -> bytes:
     return _uvarint_bytes(u)
 
 
+def _group_bloom_hashes(arr, kind: int) -> np.ndarray:
+    """uint64 writer-domain hashes of one row group's non-null values."""
+    from goorc_spark.codecs import murmur3
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.drop_null()
+    if kind in _BLOOM_STR_KINDS:
+        return murmur3.hash64_arrow(arr)
+    if kind == T_DATE:
+        days = arr.view(pa.int32()).to_numpy(zero_copy_only=False)
+        return murmur3.long_hash_many(days.astype(np.int64))
+    return murmur3.long_hash_many(
+        arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+
+
 def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
-                   tzctx: tuple, stride: int):
+                   tzctx: tuple, stride: int,
+                   bloom_ids: dict | None = None,
+                   bloom_fpp: float = 0.05):
     """One stripe encoded in row-group SEGMENTS: every codec restarts at
     each group start and compression chunks flush there too, so ROW_INDEX
     positions are always (segment offset[, 0 decompressed skip], 0 value/
@@ -1338,6 +1574,7 @@ def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
     encodings: dict = {}
     seg_streams: list[list] = []
     seg_stats: list[dict] = []
+    seg_blooms: dict[int, list[bytes]] = {c: [] for c in (bloom_ids or ())}
     n = sub.num_rows
     for gs in range(0, max(n, 1), stride):
         g = sub.slice(gs, stride)
@@ -1353,6 +1590,18 @@ def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
                               types, tzctx, st, force, allow_dict=False)
         seg_streams.append(s)
         seg_stats.append(st)
+        if bloom_ids:
+            from goorc_spark.codecs import murmur3
+            # size for the full stride like the Java writer (its expected
+            # entry count is the stride, not the group's actual rows)
+            m_bits, bk = murmur3.bloom_params(stride, bloom_fpp)
+            for cid, ci in bloom_ids.items():
+                hashes = _group_bloom_hashes(g.column(ci),
+                                             types[cid]["kind"])
+                words = murmur3.build_bloom(hashes, bk, m_bits)
+                seg_blooms[cid].append(
+                    _pb_bytes(1, _pb_int(1, bk)
+                              + _pb_bytes(3, words.tobytes())))
         if n == 0:
             break
     keys = [(c, k) for c, k, _ in seg_streams[0]]
@@ -1390,6 +1639,9 @@ def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
             entries += _pb_bytes(1, entry)
         index_streams.append((cid, ROW_INDEX,
                               _compress_stream(bytes(entries), comp, block)))
+        if cid in seg_blooms:  # BloomFilterIndex right after its ROW_INDEX
+            index_streams.append((cid, BLOOM_FILTER_UTF8, _compress_stream(
+                b"".join(seg_blooms[cid]), comp, block)))
     data_streams = [(c, k, packed[(c, k)]) for c, k in keys]
     stripe_stats = {cid: _merge_col_stats(
         types[cid]["kind"], [st.get(cid, {"n": 0}) for st in seg_stats])
@@ -1401,7 +1653,9 @@ def write_orc(table: pa.Table, compression: str = "zlib",
               stripe_rows: int = 1_000_000,
               block_size: int = 256 * 1024,
               writer_timezone: str = "UTC",
-              row_index_stride: int = 0) -> bytes:
+              row_index_stride: int = 0,
+              bloom_columns: tuple = (),
+              bloom_fpp: float = 0.05) -> bytes:
     """Serialize an Arrow table as a real ORC v1 file using only this
     repo's codecs — the write-side mirror of `read_orc`. NONE/ZLIB,
     DIRECT_V2 everywhere RLEv2 applies, sorted DICTIONARY_V2 for
@@ -1410,11 +1664,34 @@ def write_orc(table: pa.Table, compression: str = "zlib",
     write_orc_files). `writer_timezone` stamps the stripe footers and
     shifts the timestamp base the way real ORC writers do; zones whose
     UTC offset is not fixed over the data's range are refused on BOTH
-    sides (see _require_fixed_offset) rather than silently shifted."""
+    sides (see _require_fixed_offset) rather than silently shifted.
+
+    `bloom_columns` emits a BLOOM_FILTER_UTF8 stream per named column
+    (stride-sized filters at `bloom_fpp`, writer-exact hash conventions —
+    codecs/murmur3.py) so read_orc_eq and other engines' readers can skip
+    row groups on equality predicates; requires row_index_stride > 0."""
     comp = {"none": COMP_NONE, "zlib": COMP_ZLIB}[compression]
     tzctx = (_tz_base_seconds(writer_timezone), writer_timezone)
     types: list = []
     _type_tree(table.schema, types, [])
+    bloom_ids: dict[int, int] = {}
+    if bloom_columns:
+        if not row_index_stride:
+            raise ValueError("bloom_columns requires row_index_stride > 0 "
+                             "(filters are per row group)")
+        root0 = types[0]
+        for name in bloom_columns:
+            if name not in root0["field_names"]:
+                raise KeyError(f"bloom column {name!r} not in schema")
+            ci = root0["field_names"].index(name)
+            cid = root0["subtypes"][ci]
+            kind = types[cid]["kind"]
+            if kind not in _BLOOM_STR_KINDS | _BLOOM_LONG_KINDS:
+                raise NotImplementedError(
+                    f"bloom_columns: ORC type kind {kind} of {name!r} has "
+                    "no pinned writer hash (string/binary and int/date "
+                    "families are supported)")
+            bloom_ids[cid] = ci
     body = bytearray(MAGIC)
     stripe_infos = []
     stripe_stats: list[dict] = []  # per stripe: col_id -> typed stats
@@ -1429,7 +1706,8 @@ def write_orc(table: pa.Table, compression: str = "zlib",
         data_len = 0
         if row_index_stride:
             idx_s, dat_s, encodings, col_stats = _stride_stripe(
-                sub, types, comp, block_size, tzctx, row_index_stride)
+                sub, types, comp, block_size, tzctx, row_index_stride,
+                bloom_ids or None, bloom_fpp)
             stripe_stats.append(col_stats)
             for col_id, skind, pk in idx_s:
                 body += pk
@@ -1524,7 +1802,8 @@ TMP_DIR = "_temporary"
 
 
 def _commit_partition(path: str, pid: int, attempt: int, batches: list,
-                      compression: str, stripe_rows: int) -> int:
+                      compression: str, stripe_rows: int,
+                      writer_kwargs: dict | None = None) -> int:
     """Task-commit protocol (VERDICT r3 #5; SCALE.md's design): serialize
     the partition to a per-ATTEMPT temp file under `_temporary/`, then
     atomically rename onto the deterministic per-PARTITION final name. A
@@ -1537,7 +1816,8 @@ def _commit_partition(path: str, pid: int, attempt: int, batches: list,
     if not batches:
         return 0
     tbl = pa.Table.from_batches(batches)
-    data = write_orc(tbl, compression=compression, stripe_rows=stripe_rows)
+    data = write_orc(tbl, compression=compression, stripe_rows=stripe_rows,
+                     **(writer_kwargs or {}))
     name = f"part-{pid:05d}.orc"
     tmp = os.path.join(path, TMP_DIR,
                        f"{name}.attempt-{attempt}.inprogress")
@@ -1548,7 +1828,10 @@ def _commit_partition(path: str, pid: int, attempt: int, batches: list,
 
 
 def write_orc_files(df, path: str, compression: str = "zlib",
-                    stripe_rows: int = 1_000_000) -> dict:
+                    stripe_rows: int = 1_000_000,
+                    row_index_stride: int = 0,
+                    bloom_columns: tuple = (),
+                    bloom_fpp: float = 0.05) -> dict:
     """Distributed native ORC write: each partition serializes its rows
     with `write_orc` and lands one `part-<partition>.orc` file under
     `path` — the Spark-shaped version of the reference writer's file
@@ -1571,7 +1854,10 @@ def write_orc_files(df, path: str, compression: str = "zlib",
         pid = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
         n = _commit_partition(path, pid, attempt, list(batches),
-                              compression, stripe_rows)
+                              compression, stripe_rows,
+                              {"row_index_stride": row_index_stride,
+                               "bloom_columns": bloom_columns,
+                               "bloom_fpp": bloom_fpp})
         yield pa.RecordBatch.from_pydict(
             {"pid": pa.array([pid], pa.int64()),
              "rows": pa.array([n], pa.int64())})
@@ -1621,7 +1907,7 @@ def _read_tail_from_file(f) -> tuple[dict, dict, list | None]:
 
 _PLAN_SCHEMA = ("path string, offset long, total long, index_length long, "
                 "data_length long, footer_length long, n_rows long, "
-                "compression int")
+                "compression int, stride int")
 # above this many files the driver stops tail-walking serially and runs
 # the tail reads as a distributed metadata job (SCALE.md: at 10^5+ files
 # the serial loop IS the driver bottleneck; each tail is a few KB)
@@ -1659,7 +1945,7 @@ def _stripe_plan_rows(path: str, predicate: dict | None,
         total = s["index_length"] + s["data_length"] + s["footer_length"]
         rows.append((path, s["offset"], total, s["index_length"],
                      s["data_length"], s["footer_length"], s["n_rows"],
-                     ps["compression"]))
+                     ps["compression"], footer["row_index_stride"]))
     return types, rows
 
 
@@ -1722,7 +2008,7 @@ def read_orc_stripes(spark, path_glob: str,
     else:
         plan_cols = [c.split(" ")[0] for c in _PLAN_SCHEMA.split(", ")]
 
-        plan_types = [pa.string()] + [pa.int64()] * 6 + [pa.int32()]
+        plan_types = [pa.string()] + [pa.int64()] * 6 + [pa.int32()] * 2
 
         def walk_tails(batches):
             t0 = _json.loads(types_json)
@@ -1746,15 +2032,35 @@ def read_orc_stripes(spark, path_glob: str,
         n_stripes = plan.count()
         plan = plan.repartition(n_stripes or 1)
 
+    # an equality predicate (lo == hi) on a bloom-hashable column lets the
+    # decode TASK additionally skip row groups via per-group bloom filters
+    # + ROW_INDEX stats — stripe pruning above cut whole stripes from the
+    # plan; this cuts decode work INSIDE each surviving stripe. Still a
+    # superset: apply the exact .filter on the result.
+    eq_name = eq_value = None
+    if predicate:
+        name_to_id0 = dict(zip(root["field_names"], root["subtypes"]))
+        for c, (lo, hi) in predicate.items():
+            if lo is not None and lo == hi and c in name_to_id0 \
+                    and types0[name_to_id0[c]]["kind"] in \
+                    (_BLOOM_STR_KINDS | _BLOOM_LONG_KINDS):
+                eq_name, eq_value = c, lo
+                break
+
     def decode(batches):
         types = _json.loads(types_json)
         inc = _include_ids(types, columns)
+        eq_id = h64 = None
+        if eq_name is not None:
+            r0 = types[0]
+            eq_id = r0["subtypes"][r0["field_names"].index(eq_name)]
+            h64 = _bloom_hash_value(types[eq_id]["kind"], eq_value)
         for rb in batches:
             for i in range(rb.num_rows):
                 r = {k: rb.column(k)[i].as_py() for k in
                      ("path", "offset", "total", "index_length",
                       "data_length", "footer_length", "n_rows",
-                      "compression")}
+                      "compression", "stride")}
                 with open(r["path"], "rb") as f:
                     f.seek(r["offset"])
                     data = f.read(r["total"])
@@ -1766,10 +2072,24 @@ def read_orc_stripes(spark, path_glob: str,
                          "data_length": r["data_length"],
                          "footer_length": r["footer_length"],
                          "n_rows": r["n_rows"]}
-                cur = _StripeCursor(data, local, sf, r["compression"])
                 tz_base = _tz_base_seconds(sf["timezone"])
-                root_arr = _decode_column(cur, types, 0, r["n_rows"],
-                                          tz_base, inc)
+                if eq_id is not None and r["stride"]:
+                    try:
+                        root_arr = _decode_stripe_eq(
+                            data, local, sf, r["compression"], types,
+                            r["stride"], eq_id, eq_value, h64, inc, None)
+                    except NotImplementedError:
+                        # unknown positions layout: whole-stripe fallback
+                        root_arr = _decode_column(
+                            _StripeCursor(data, local, sf,
+                                          r["compression"]),
+                            types, 0, r["n_rows"], tz_base, inc)
+                    if root_arr is None:
+                        continue
+                else:
+                    cur = _StripeCursor(data, local, sf, r["compression"])
+                    root_arr = _decode_column(cur, types, 0, r["n_rows"],
+                                              tz_base, inc)
                 yield pa.RecordBatch.from_struct_array(root_arr)
 
     return plan.mapInArrow(decode, out_schema)

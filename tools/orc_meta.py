@@ -126,6 +126,19 @@ def main() -> None:
                 pv = entries[:3]
                 print(f"    col {cid:>3}: {len(entries)} entries, "
                       f"positions[0:3]={pv}")
+            for cid in range(len(types)):
+                if not cur.has(cid, on.BLOOM_FILTER_UTF8):
+                    continue
+                blooms = on._parse_bloom_index(
+                    cur.stream(cid, on.BLOOM_FILTER_UTF8))
+                if blooms:
+                    import numpy as _np
+                    k0, w0 = blooms[0]
+                    dens = (_np.unpackbits(
+                        w0.view(_np.uint8)).mean() if len(w0) else 0.0)
+                    print(f"    col {cid:>3}: {len(blooms)} bloom filters"
+                          f" (k={k0}, m={len(w0) * 64} bits, "
+                          f"density[0]={dens:.2f})")
 
 
 if __name__ == "__main__":

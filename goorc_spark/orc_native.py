@@ -547,6 +547,21 @@ def _bloom_hash_value(kind: int, value) -> int:
         data = value.encode("utf-8") if isinstance(value, str) \
             else bytes(value)
         return murmur3.hash64(data)
+    if kind == T_TIMESTAMP:
+        # both writers hash FLOOR-millis since epoch (pinned 2000/2000;
+        # naive values read as UTC) — integer math keeps pre-epoch floors
+        import datetime
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        d = value - epoch
+        ms = d.days * 86_400_000 + d.seconds * 1000 + d.microseconds // 1000
+        return murmur3.long_hash(ms)
+    if kind == T_DECIMAL:
+        # both writers hash the NORMALIZED plain decimal string (trailing
+        # zeros stripped; the full-scale text misses every trailing-zero
+        # value against both writers — pinned)
+        from decimal import Decimal
+        return murmur3.hash64(
+            format(Decimal(value).normalize(), "f").encode())
     if kind in _BLOOM_LONG_KINDS:
         import datetime
         if isinstance(value, datetime.date) \
@@ -554,9 +569,9 @@ def _bloom_hash_value(kind: int, value) -> int:
             value = (value - datetime.date(1970, 1, 1)).days
         return murmur3.long_hash(int(value))
     raise NotImplementedError(
-        "bloom equality pruning supports string/char/varchar/binary and "
-        "byte/short/int/long/date columns (the writers' long/utf8 hash "
-        f"domains); ORC type kind {kind} is not one of them")
+        "bloom equality pruning supports string/char/varchar/binary, "
+        "byte/short/int/long/date, timestamp and decimal columns (the "
+        f"writers' hash domains); ORC type kind {kind} is not one of them")
 
 
 def _stats_eq_value(kind: int, value):
@@ -1541,6 +1556,18 @@ def _group_bloom_hashes(arr, kind: int) -> np.ndarray:
     if kind == T_DATE:
         days = arr.view(pa.int32()).to_numpy(zero_copy_only=False)
         return murmur3.long_hash_many(days.astype(np.int64))
+    if kind == T_TIMESTAMP:
+        unit = arr.type.unit
+        raw = arr.view(pa.int64()).to_numpy(zero_copy_only=False)
+        div = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+        ms = raw * 1000 if div is None \
+            else np.floor_divide(raw, np.int64(div))
+        return murmur3.long_hash_many(ms.astype(np.int64))
+    if kind == T_DECIMAL:
+        from decimal import Decimal
+        strs = [format(Decimal(v).normalize(), "f").encode()
+                for v in arr.to_pylist()]
+        return murmur3.hash64_many(strs)
     return murmur3.long_hash_many(
         arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
 
@@ -1686,11 +1713,12 @@ def write_orc(table: pa.Table, compression: str = "zlib",
             ci = root0["field_names"].index(name)
             cid = root0["subtypes"][ci]
             kind = types[cid]["kind"]
-            if kind not in _BLOOM_STR_KINDS | _BLOOM_LONG_KINDS:
+            if kind not in (_BLOOM_STR_KINDS | _BLOOM_LONG_KINDS
+                            | {T_TIMESTAMP, T_DECIMAL}):
                 raise NotImplementedError(
                     f"bloom_columns: ORC type kind {kind} of {name!r} has "
-                    "no pinned writer hash (string/binary and int/date "
-                    "families are supported)")
+                    "no pinned writer hash (string/binary, int/date, "
+                    "timestamp and decimal are supported)")
             bloom_ids[cid] = ci
     body = bytearray(MAGIC)
     stripe_infos = []
@@ -2043,7 +2071,8 @@ def read_orc_stripes(spark, path_glob: str,
         for c, (lo, hi) in predicate.items():
             if lo is not None and lo == hi and c in name_to_id0 \
                     and types0[name_to_id0[c]]["kind"] in \
-                    (_BLOOM_STR_KINDS | _BLOOM_LONG_KINDS):
+                    (_BLOOM_STR_KINDS | _BLOOM_LONG_KINDS
+                     | {T_TIMESTAMP, T_DECIMAL}):
                 eq_name, eq_value = c, lo
                 break
 

@@ -254,3 +254,62 @@ def test_read_orc_stripes_bloom_eq(spark, tmp_path):
     absent = on.read_orc_stripes(spark, str(d / "*.orc"),
                                  predicate={"k": ("zzz", "zzz")})
     assert absent.count() == 0
+
+
+# ------------------------------------- timestamp / decimal hash domains
+
+def _ts_floor_ms(v: datetime.datetime) -> int:
+    d = v - datetime.datetime(1970, 1, 1)
+    return d.days * 86_400_000 + d.seconds * 1000 + d.microseconds // 1000
+
+
+def test_cpp_timestamp_decimal_bloom_pins():
+    from decimal import Decimal
+    ts = [datetime.datetime(2024, 1, 1)
+          + datetime.timedelta(seconds=i * 37,
+                               microseconds=(i * 137) % 1_000_000)
+          for i in range(2000)]
+    dec = [Decimal(i * 7 - 500).scaleb(-2) for i in range(2000)]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "dec": pa.array(dec, type=pa.decimal128(12, 2))})
+    buf = io.BytesIO()
+    po.write_table(t, buf, stripe_size=1 << 22, row_index_stride=10000,
+                   compression="uncompressed",
+                   bloom_filter_columns=[1, 2], bloom_filter_fpp=0.05)
+    data = buf.getvalue()
+    kt, wt = _first_stripe_blooms(data, 1)[0]
+    # FLOOR-millis long hash: 2000/2000 (the us-truncation convention)
+    assert all(mm.might_contain(wt, kt, mm.long_hash(_ts_floor_ms(v)))
+               for v in ts)
+    kd, wd = _first_stripe_blooms(data, 2)[0]
+    # NORMALIZED plain string: the full-scale text misses every
+    # trailing-zero value (documented pin), normalize() hits all
+    from decimal import Decimal as D
+    assert all(mm.might_contain(
+        wd, kd, mm.hash64(format(v.normalize(), "f").encode()))
+        for v in dec)
+    full = sum(mm.might_contain(wd, kd, mm.hash64(format(v, "f").encode()))
+               for v in dec)
+    assert full < 2000  # full-scale text is NOT the writers' convention
+
+
+def test_native_bloom_timestamp_decimal_roundtrip():
+    from decimal import Decimal
+    n = 3000
+    ts = [datetime.datetime(2024, 1, 1)
+          + datetime.timedelta(seconds=i * 37) for i in range(n)]
+    dec = [Decimal(i * 7 - 500).scaleb(-2) for i in range(n)]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "dec": pa.array(dec, type=pa.decimal128(12, 2))})
+    data = on.write_orc(t, compression="zlib", stripe_rows=3000,
+                        row_index_stride=1000,
+                        bloom_columns=("ts", "dec"))
+    assert on.read_orc(data).equals(t)
+    met = {}
+    r = on.read_orc_eq(data, "ts", ts[1500], metrics=met)
+    assert r.num_rows == 1 and met["groups_decoded"] == 1
+    r2 = on.read_orc_eq(data, "dec", Decimal("-5.00"))
+    assert r2.num_rows == 1
+    assert on.read_orc_eq(
+        data, "ts", datetime.datetime(1999, 1, 1)).num_rows == 0
+    assert on.read_orc_eq(data, "dec", Decimal("123456.78")).num_rows == 0

@@ -147,6 +147,44 @@ def _varwidth_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 # ----------------------------------------------------------------- encode --
 
 
+def _rg_bloom_entry(arr, fpp: float) -> dict:
+    """Per-row-group bloom over the group's DISTINCT key values, sized to
+    the distinct count (a conv-clustered 10k-row group holds ~1k convs ->
+    ~1.2 KB at 1% fpp). Canonical hash bytes: raw UTF-8/bytes for
+    string/binary keys (vectorized off the Arrow buffers), str(value) for
+    anything else — select_row_groups probes with the same form."""
+    import base64
+
+    from goorc_spark.codecs import murmur3
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dist = pc.unique(arr).drop_null()
+    t = dist.type
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        hashes = murmur3.hash64_arrow(dist)
+    else:
+        hashes = murmur3.hash64_many(
+            [str(v).encode() for v in dist.to_pylist()])
+    m, k = murmur3.bloom_params(max(len(dist), 1), fpp)
+    words = murmur3.build_bloom(hashes, k, m)
+    return {"k": k, "b64": base64.b64encode(words.tobytes()).decode()}
+
+
+def rg_bloom_probe(entry: dict, key_value) -> bool:
+    """Membership test against a _rg_bloom_entry (False = provably absent)."""
+    import base64
+
+    from goorc_spark.codecs import murmur3
+
+    data = key_value if isinstance(key_value, bytes) else (
+        key_value.encode() if isinstance(key_value, str)
+        else str(key_value).encode())
+    words = np.frombuffer(base64.b64decode(entry["b64"]), dtype="<u8")
+    return murmur3.might_contain(words, entry["k"], murmur3.hash64(data))
+
+
 def encode_stripe_table(
     table: pa.Table,
     spec: list[dict],
@@ -157,6 +195,7 @@ def encode_stripe_table(
     rg_rows: int | None = None,
     key_col: str | None = None,
     ord_col: str | None = None,
+    rg_bloom: float | None = None,
 ) -> tuple[bytes, dict]:
     """`cache` (optional, per-task) reuses codec decisions and trained FSST
     symbol tables across consecutive stripes of one partition — the data is
@@ -214,6 +253,13 @@ def encode_stripe_table(
                 mm = pc.min_max(sub.column(cname))
                 g[f"{label}_min"] = mm["min"].as_py()
                 g[f"{label}_max"] = mm["max"].as_py()
+        if rg_bloom and key_col is not None \
+                and key_col in sub.schema.names:
+            # under hash placement every group's [key_min, key_max] spans
+            # the key space and range pruning is useless — the per-group
+            # bloom is what skips groups (the stripe-level analog is
+            # engine._build_bloom; ORC-side: BLOOM_FILTER_UTF8 streams)
+            g["key_bloom"] = _rg_bloom_entry(sub.column(key_col), rg_bloom)
         # per-group value ranges for every orderable scalar column — the
         # reference's RowIndexEntry statistics (pb/orc_proto.proto:92-99):
         # generic predicate seek (read_where) prunes groups on ANY column,
@@ -420,6 +466,10 @@ def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
                 if vlo is not None:
                     hi, p = _coerce_bound(r[1], vlo)
                     ok = ok and hi >= p
+        if ok and key_value is not None and "key_bloom" in g:
+            # range checks can't prune hash-placed groups (every range
+            # spans the key space); the per-group bloom can
+            ok = rg_bloom_probe(g["key_bloom"], key_value)
         if ok:
             sel.append(i)
     return sel

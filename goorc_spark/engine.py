@@ -149,6 +149,13 @@ class EncodeConfig:
                                            # granularity (reference index stride,
                                            # /root/reference/orc/config/opts.go:19);
                                            # 0 disables (one group per stripe)
+    rg_bloom: float | None = None          # per-ROW-GROUP key bloom fpp (e.g.
+                                           # 0.01); the group-level twin of the
+                                           # stripe bloom — the only group
+                                           # pruner under hash placement, where
+                                           # group [key_min,key_max] ranges all
+                                           # span the key space. None = off
+                                           # (meta bytes unchanged)
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
 
     def __post_init__(self) -> None:
@@ -290,7 +297,7 @@ def _make_encoder(spec: list[dict], cfg: EncodeConfig):
                 table, spec, compression=cfg.compression,
                 chunk_size=cfg.chunk_size, policy=cfg.policy,
                 cache=codec_cache, rg_rows=cfg.rg_rows,
-                key_col=key, ord_col=ordc)
+                key_col=key, ord_col=ordc, rg_bloom=cfg.rg_bloom)
             ms = (time.monotonic() - t0) * 1000
             if key and table.num_rows:
                 # TRUE stripe key bounds (pc.min_max), valid even when the

@@ -393,3 +393,45 @@ def test_run_stats_decimal_bounds_numeric(spark):
     assert rs["d"]["min_long"] == -21000   # unscaled at scale 2
     assert rs["d"]["max_long"] == 20895
     assert rs["d"]["min_str"] is None
+
+
+def test_rg_bloom_prunes_unsorted_groups():
+    """Per-row-group key blooms (EncodeConfig.rg_bloom / encode_stripe_table
+    rg_bloom=fpp): with an UNSORTED stripe interior every group's
+    [key_min, key_max] spans the key space, so range pruning keeps all
+    groups — the bloom is the only group-level pruner there (sorted
+    encode_df output doesn't need it; its group ranges are narrow). An
+    absent key must select ZERO groups; a present key's selected groups
+    must decode every one of its rows; default (None) leaves meta
+    unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from goorc_spark import arrow_stripe, transcripts
+
+    pdf = transcripts.synthesize_pandas(n_convs=400, seed=3)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    perm = np.random.default_rng(5).permutation(table.num_rows)
+    table = table.take(pa.array(perm))
+    blob, meta = arrow_stripe.encode_stripe_table(
+        table, transcripts.TRANSCRIPTS_SPEC, rg_rows=1000,
+        key_col="conv_id", ord_col="turn_idx", rg_bloom=0.01)
+    groups = meta["row_groups"]
+    assert all("key_bloom" in g for g in groups)
+    # absent key: provably nowhere, despite every range covering it
+    assert arrow_stripe.select_row_groups(
+        meta, key_value="conv-99999999") == []
+    # present key: conservative superset, decodes all its rows
+    key = table.column("conv_id")[0].as_py()
+    sel = arrow_stripe.select_row_groups(meta, key_value=key)
+    assert sel, "present key must keep groups"
+    dec = arrow_stripe.decode_stripe_batch(blob, meta, rg_sel=sel)
+    got = dec.filter(pc.equal(dec["conv_id"], key)).num_rows
+    want = table.filter(pc.equal(table["conv_id"], key)).num_rows
+    assert got == want
+    # default off: meta bytes carry no bloom entries (wire unchanged)
+    _, meta2 = arrow_stripe.encode_stripe_table(
+        table, transcripts.TRANSCRIPTS_SPEC, rg_rows=1000,
+        key_col="conv_id", ord_col="turn_idx")
+    assert all("key_bloom" not in g for g in meta2["row_groups"])

@@ -494,6 +494,33 @@ def main() -> None:
             "jvm_read_turns_per_sec": round(jrows / max(jsec, 1e-9)),
         }
 
+        # bloom point read (r4): one bloom'd single file, equality lookup
+        # through stripe stats -> group stats -> bloom vs a full native
+        # decode of the same bytes — the fpp^-1 work cut a 10^12-turn
+        # interleaved-key point query rides on
+        import pyarrow as _pa
+
+        one = df.limit(100_000).toArrow() if hasattr(df, "toArrow") else \
+            _pa.Table.from_pandas(df.limit(100_000).toPandas())
+        probe_key = one.column("conv_id")[0].as_py()
+        bdata = orc_native.write_orc(one, compression="zlib",
+                                     stripe_rows=25_000,
+                                     row_index_stride=1000,
+                                     bloom_columns=("conv_id",))
+        fsec, ftbl = timed(lambda: orc_native.read_orc(bdata))
+        met: dict = {}
+        esec, etbl = timed(lambda: orc_native.read_orc_eq(
+            bdata, "conv_id", probe_key, metrics=met))
+        asec, _ = timed(lambda: orc_native.read_orc_eq(
+            bdata, "conv_id", "conv-absent"))
+        extras["orc_bloom_point"] = {
+            "rows": one.num_rows, "full_decode_sec": round(fsec, 3),
+            "eq_read_sec": round(esec, 3), "eq_rows": etbl.num_rows,
+            "absent_read_sec": round(asec, 3),
+            "groups_decoded": met.get("groups_decoded"),
+            "groups_total": met.get("groups_total"),
+        }
+
         # point read through the row-group index at a PRODUCTION stripe
         # shape (few big sorted stripes, 2k-row groups): stripe prune ->
         # row-group prune -> exact filter, vs decoding the same big stripes

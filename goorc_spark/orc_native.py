@@ -1391,8 +1391,14 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
         encodings[col_id] = (ENC_DIRECT, 0)
         for i, sub in enumerate(node["subtypes"]):
             child = vals.field(i) if n else arr.field(i)
+            # thread force_present/allow_dict to children — dropping them
+            # here let row-group segments dictionary-encode strings
+            # per-group (diverging dictionaries concatenate into a corrupt
+            # stripe) and skip PRESENT on no-null segments of nullable
+            # columns; regression: test_stride_low_cardinality_strings
             _write_column_streams(child, sub, types[sub], streams,
-                                  encodings, types, tz, stats)
+                                  encodings, types, tz, stats,
+                                  force_present, allow_dict)
         return
     if kind in (T_LIST, T_MAP):
         offs = np.asarray(vals.offsets, dtype=np.int64) if len(vals) else \
@@ -1409,7 +1415,8 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
                 arr.values.slice(0, 0)
             _write_column_streams(child, node["subtypes"][0],
                                   types[node["subtypes"][0]], streams,
-                                  encodings, types, tz, stats)
+                                  encodings, types, tz, stats,
+                                  force_present, allow_dict)
         else:
             keys = vals.keys.slice(lo, hi - lo) if len(vals) else \
                 arr.keys.slice(0, 0)
@@ -1417,10 +1424,12 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
                 arr.items.slice(0, 0)
             _write_column_streams(keys, node["subtypes"][0],
                                   types[node["subtypes"][0]], streams,
-                                  encodings, types, tz, stats)
+                                  encodings, types, tz, stats,
+                                  force_present, allow_dict)
             _write_column_streams(items, node["subtypes"][1],
                                   types[node["subtypes"][1]], streams,
-                                  encodings, types, tz, stats)
+                                  encodings, types, tz, stats,
+                                  force_present, allow_dict)
         return
     if kind == T_BOOLEAN:
         bits = np.asarray(vals.cast(pa.int8()), dtype=np.int8).astype(bool) \

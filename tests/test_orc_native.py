@@ -736,3 +736,42 @@ def test_legacy_rlev1_jvm_golden(spark, tmp_path):
     seek = on.read_orc_rows(data, 37_123, 37_456, metrics=m)
     assert seek.cast(exp.schema).equals(exp.slice(37_123, 333))
     assert m["decompressed_bytes"] < 0.5 * mf["decompressed_bytes"]
+
+
+def test_stride_low_cardinality_strings_and_partial_nulls():
+    """Regression: the struct recursion dropped force_present/allow_dict,
+    so stride-mode stripes dictionary-encoded low-cardinality string
+    children PER GROUP (diverging dictionaries concatenated into a corrupt
+    stripe — reader crash) and skipped PRESENT on the no-null segments of
+    nullable columns. Both failure modes in one table: 16-distinct keys,
+    4-distinct roles, and a tool column whose nulls live only in SOME
+    groups."""
+    import pyarrow as pa
+
+    from goorc_spark import orc_native as on
+
+    n = 5000
+    t = pa.table({
+        "conv": pa.array([f"c{i % 16}" for i in range(n)]),
+        "role": pa.array(["user", "assistant", "system", "tool"] * 1250),
+        "tool": pa.array([None] * 1000 + ["bash"] * 1000 + [None] * 1000
+                         + ["edit", "bash"] * 1000),
+        "v": pa.array(range(n), type=pa.int64()),
+    })
+    data = on.write_orc(t, compression="zlib", stripe_rows=2500,
+                        row_index_stride=512)
+    assert on.read_orc(data).equals(t)
+    # every string column must be DIRECT_V2 in stride mode (per-group
+    # dictionaries are format-illegal to concatenate)
+    ps, footer = on.parse_tail(data)
+    st = footer["stripes"][0]
+    fo = st["offset"] + st["index_length"] + st["data_length"]
+    sf = on.parse_stripe_footer(on._decompress(
+        data[fo:fo + st["footer_length"]], ps["compression"]))
+    assert all(e["dict_size"] == 0 for e in sf["encodings"])
+    # and the bloom'd variant point-reads exactly
+    data2 = on.write_orc(t, compression="zlib", stripe_rows=2500,
+                         row_index_stride=512, bloom_columns=("conv",))
+    assert on.read_orc(data2).equals(t)
+    r = on.read_orc_eq(data2, "conv", "c7")
+    assert r.num_rows == sum(1 for i in range(n) if i % 16 == 7)

@@ -61,13 +61,20 @@ def export_orc(stripes: DataFrame, spec: list[dict], path: str,
 
 def export_orc_native(stripes: DataFrame, spec: list[dict], path: str,
                       compression: str = "zlib",
-                      columns: list[str] | None = None) -> None:
+                      columns: list[str] | None = None,
+                      row_index_stride: int = 0,
+                      bloom_columns: tuple = (),
+                      bloom_fpp: float = 0.05) -> None:
     """Stripe table -> real ORC files with NO JVM ORC code anywhere:
     decode with the engine, serialize with orc_native.write_orc (one file
     per partition). The full circle — engine stripes to
-    independently-readable ORC bytes — using only this repo's codecs."""
+    independently-readable ORC bytes — using only this repo's codecs.
+    `row_index_stride` / `bloom_columns` pass through to the native
+    writer, so exported files carry seekable row groups and
+    BLOOM_FILTER_UTF8 point-lookup pruning."""
     from goorc_spark import orc_native
 
     orc_native.write_orc_files(
         engine.decode_df(stripes, spec, columns=columns), path,
-        compression=compression)
+        compression=compression, row_index_stride=row_index_stride,
+        bloom_columns=bloom_columns, bloom_fpp=bloom_fpp)

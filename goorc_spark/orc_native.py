@@ -598,10 +598,12 @@ def _row_group_stats(raw) -> list[dict]:
     return out
 
 
-def _eq_keep_groups(cur: "_StripeCursor", col_id: int, kind: int, value,
-                    h64: int, n_rows: int, stride: int) -> list[bool] | None:
-    """Per-row-group keep mask for `col == value` from group stats +
-    bloom; None when the stripe has no per-group metadata to prune on."""
+def _eq_keep_groups(cur: "_StripeCursor", col_id: int, kind: int, values,
+                    h64s: list[int], n_rows: int,
+                    stride: int) -> list[bool] | None:
+    """Per-row-group keep mask for `col IN values` from group stats +
+    bloom (a group survives if ANY value can be present); None when the
+    stripe has no per-group metadata to prune on."""
     from goorc_spark.codecs import murmur3
 
     if not stride:
@@ -613,41 +615,48 @@ def _eq_keep_groups(cur: "_StripeCursor", col_id: int, kind: int, value,
         blooms = _parse_bloom_index(cur.stream(col_id, BLOOM_FILTER_UTF8))
     if not stats and not blooms:
         return None
-    sv = _stats_eq_value(kind, value)
+    svs = [_stats_eq_value(kind, v) for v in values]
     n_groups = -(-n_rows // stride)
     keep = []
     for g in range(n_groups):
-        ok = True
-        if stats and g < len(stats) and sv is not None:
-            st = stats[g]
-            mn, mx = st.get("min"), st.get("max")
-            try:
-                if (mn is not None and sv < mn) or \
-                        (mx is not None and sv > mx):
-                    ok = False
-            except TypeError:
-                pass  # cross-domain compare: keep (conservative)
-        if ok and blooms and g < len(blooms):
-            bk, words = blooms[g]
-            if bk and len(words):
-                ok = murmur3.might_contain(words, bk, h64)
-        keep.append(ok)
+        st = stats[g] if stats and g < len(stats) else None
+        bloom = blooms[g] if blooms and g < len(blooms) else None
+        any_ok = False
+        for sv, h64 in zip(svs, h64s):
+            ok = True
+            if st is not None and sv is not None:
+                mn, mx = st.get("min"), st.get("max")
+                try:
+                    if (mn is not None and sv < mn) or \
+                            (mx is not None and sv > mx):
+                        ok = False
+                except TypeError:
+                    pass  # cross-domain compare: keep (conservative)
+            if ok and bloom is not None:
+                bk, words = bloom
+                if bk and len(words):
+                    ok = murmur3.might_contain(words, bk, h64)
+            if ok:
+                any_ok = True
+                break
+        keep.append(any_ok)
     return keep
 
 
 def _decode_stripe_eq(data: bytes, stripe: dict, sf: dict, comp: int,
                       types: list[dict], stride: int, col_id: int,
-                      value, h64: int, include: set[int] | None,
+                      values: list, h64s: list[int],
+                      include: set[int] | None,
                       metrics: dict | None) -> pa.StructArray | None:
     """Decode only the row groups of one stripe that might hold
-    `col == value` (bloom + per-group stats, conservative). Returns the
+    `col IN values` (bloom + per-group stats, conservative). Returns the
     UNFILTERED concatenation of surviving groups (callers apply the exact
     filter), or None when every group was pruned."""
     n = stripe["n_rows"]
     tz_base = _tz_base_seconds(sf["timezone"])
     kind = types[col_id]["kind"]
     probe = _StripeCursor(data, stripe, sf, comp, metrics)
-    keep = _eq_keep_groups(probe, col_id, kind, value, h64, n, stride)
+    keep = _eq_keep_groups(probe, col_id, kind, values, h64s, n, stride)
     indexed = {s["column"] for s in sf["streams"] if s["kind"] == ROW_INDEX}
     data_cols = {s["column"] for s in sf["streams"]
                  if s["kind"] not in (ROW_INDEX, BLOOM_FILTER_UTF8,
@@ -689,7 +698,8 @@ def _decode_stripe_eq(data: bytes, stripe: dict, sf: dict, comp: int,
 def read_orc_eq(data: bytes, column: str, value,
                 columns: list[str] | None = None,
                 metrics: dict | None = None) -> pa.Table:
-    """Equality point read `column == value` over one ORC file's bytes,
+    """Equality point read `column == value` (or `column IN value` when
+    `value` is a list/tuple/set) over one ORC file's bytes,
     pruning at THREE levels before decoding: stripe statistics (Metadata
     section), per-row-group statistics (ROW_INDEX entry field 2), and
     per-row-group bloom filters (BLOOM_FILTER_UTF8) — then the exact
@@ -706,17 +716,20 @@ def read_orc_eq(data: bytes, column: str, value,
         raise KeyError(f"column {column!r} not in {root['field_names']}")
     col_id = root["subtypes"][root["field_names"].index(column)]
     kind = types[col_id]["kind"]
-    h64 = _bloom_hash_value(kind, value)
+    values = list(value) if isinstance(value, (list, tuple, set, frozenset)) \
+        else [value]
+    h64s = [_bloom_hash_value(kind, v) for v in values]
     stride = footer["row_index_stride"]
     include = _include_ids(types, columns)
     dec_include = include if include is None else include | {col_id}
-    sv = _stats_eq_value(kind, value)
+    svs = [_stats_eq_value(kind, v) for v in values]
     stripe_stats = parse_stripe_stats(data)
     batches = []
     for si, stripe in enumerate(footer["stripes"]):
         if stripe_stats and si < len(stripe_stats) \
-                and col_id < len(stripe_stats[si]) and sv is not None \
-                and not _stats_can_match(stripe_stats[si][col_id], sv, sv):
+                and col_id < len(stripe_stats[si]) \
+                and not any(sv is None or _stats_can_match(
+                    stripe_stats[si][col_id], sv, sv) for sv in svs):
             continue
         foot_off = (stripe["offset"] + stripe["index_length"]
                     + stripe["data_length"])
@@ -724,7 +737,7 @@ def read_orc_eq(data: bytes, column: str, value,
             data[foot_off:foot_off + stripe["footer_length"]],
             ps["compression"]))
         arr = _decode_stripe_eq(data, stripe, sf, ps["compression"], types,
-                                stride, col_id, value, h64, dec_include,
+                                stride, col_id, values, h64s, dec_include,
                                 metrics)
         if arr is not None:
             batches.append(pa.RecordBatch.from_struct_array(arr))
@@ -737,7 +750,12 @@ def read_orc_eq(data: bytes, column: str, value,
     else:
         tbl = pa.Table.from_batches(batches, schema=schema)
         import pyarrow.compute as pc
-        tbl = tbl.filter(pc.equal(tbl.column(column), value))
+        col_arr = tbl.column(column)
+        if len(values) == 1:
+            tbl = tbl.filter(pc.equal(col_arr, values[0]))
+        else:
+            tbl = tbl.filter(pc.is_in(
+                col_arr, value_set=pa.array(values, type=col_arr.type)))
     if include is not None and col_id not in include:
         tbl = tbl.drop_columns([column])
     return tbl
@@ -2115,7 +2133,8 @@ def read_orc_stripes(spark, path_glob: str,
                     try:
                         root_arr = _decode_stripe_eq(
                             data, local, sf, r["compression"], types,
-                            r["stride"], eq_id, eq_value, h64, inc, None)
+                            r["stride"], eq_id, [eq_value], [h64], inc,
+                            None)
                     except NotImplementedError:
                         # unknown positions layout: whole-stripe fallback
                         root_arr = _decode_column(

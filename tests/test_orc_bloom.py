@@ -313,3 +313,18 @@ def test_native_bloom_timestamp_decimal_roundtrip():
     assert on.read_orc_eq(
         data, "ts", datetime.datetime(1999, 1, 1)).num_rows == 0
     assert on.read_orc_eq(data, "dec", Decimal("123456.78")).num_rows == 0
+
+
+def test_read_orc_eq_in_list(native_bloom_file):
+    """IN-list form: a group survives if ANY value can be present; the
+    exact filter is pc.is_in. Mixed present/absent values across stripes
+    decode exactly the union of their groups."""
+    t, data = native_bloom_file
+    met = {}
+    r = on.read_orc_eq(data, "k",
+                       ["conv_000042", "conv_004242", "conv_nope"],
+                       metrics=met)
+    assert sorted(r.to_pydict()["k"]) == ["conv_000042", "conv_004242"]
+    assert met["groups_decoded"] == 2
+    assert on.read_orc_eq(data, "v", {0, -2000, 10 ** 9}).num_rows == 2
+    assert on.read_orc_eq(data, "k", ["no1", "no2"]).num_rows == 0

@@ -319,6 +319,22 @@ def _point_lookup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ord_lo=2, ord_hi=10)
 
 
+def _point_lookup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch point read (engine.read_rows_in): fetch a BATCH of
+    conversations by id in one job — the training-pipeline access shape.
+    Hash partitioning + per-key bloom OR at the stripe level, any-key
+    range/bloom fit at the row-group level, one exact isin filter.
+    Oracle: WHERE conv_id IN (...)."""
+    df = transcripts.transcripts_from_events(spark, sf_dir)
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=4 * 1024 * 1024, partitions=8,
+                              rg_rows=500, run_id="plm")
+    stripes = engine.encode_df(df, cfg)
+    return engine.read_rows_in(
+        stripes, transcripts.TRANSCRIPTS_SPEC, "conv_id",
+        ["conv-00000001", "conv-00000007", "conv-00000033"])
+
+
 def _compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped ingest (many undersized stripes from tiny
     partitions) -> engine.compact_stripes merges them into full stripes
@@ -477,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "point_lookup_hash": _point_lookup_hash,
+        "point_lookup_multi": _point_lookup_multi,
         "row_seek": _row_seek,
         "compact_roundtrip": _compact_roundtrip,
         "range_scan": _range_scan,
@@ -768,6 +785,10 @@ HAVING window_end <= (SELECT max(ts) FROM t) - INTERVAL 2 HOUR
         "point_lookup_hash": (
             f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
             "WHERE conv_id = 'conv-00000001' AND turn_idx BETWEEN 2 AND 10"
+        ),
+        "point_lookup_multi": (
+            f"SELECT * FROM ({transcripts.ORACLE_SQL}) WHERE conv_id IN "
+            "('conv-00000001', 'conv-00000007', 'conv-00000033')"
         ),
         "run_stats": f"""
 WITH t AS ({transcripts.ORACLE_SQL}),

@@ -429,12 +429,14 @@ def _coerce_bound(stored, probe):
 
 def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
                       ord_lo=None, ord_hi=None,
-                      col_ranges: dict | None = None) -> list[int] | None:
+                      col_ranges: dict | None = None,
+                      key_values=None) -> list[int] | None:
     """Indices of row groups whose [key_min,key_max] x [ord_min,ord_max]
     (and any `col_ranges` {column: (lo, hi)}) ranges can contain the
-    predicate. Conservative: a group with no recorded range for a probed
-    column is kept. Returns None for single-group stripes (old format:
-    nothing to skip)."""
+    predicate. `key_values` (IN-list) keeps a group when ANY key fits its
+    range (and, with rg_bloom meta, passes its bloom). Conservative: a
+    group with no recorded range for a probed column is kept. Returns
+    None for single-group stripes (old format: nothing to skip)."""
     groups = meta.get("row_groups")
     if groups is None:
         return None
@@ -443,6 +445,22 @@ def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
     sel = []
     for i, g in enumerate(groups):
         ok = True
+        if key_values is not None:
+            gmin, gmax = g.get("key_min"), g.get("key_max")
+            def _fits(kv):
+                if gmin is not None:
+                    lo, p = _coerce_bound(gmin, kv)
+                    if lo > p:
+                        return False
+                if gmax is not None:
+                    hi, p = _coerce_bound(gmax, kv)
+                    if hi < p:
+                        return False
+                if "key_bloom" in g and not rg_bloom_probe(g["key_bloom"],
+                                                          kv):
+                    return False
+                return True
+            ok = any(_fits(kv) for kv in key_values)
         if key_hi is not None and "key_min" in g and g["key_min"] is not None:
             lo, p = _coerce_bound(g["key_min"], key_hi)
             ok = ok and lo <= p

@@ -594,6 +594,33 @@ def read_rows(stripes: DataFrame, spec: list[dict], key_col: str,
     return out.filter(cond)
 
 
+def read_rows_in(stripes: DataFrame, spec: list[dict], key_col: str,
+                 key_values, columns: list[str] | None = None,
+                 id_pushdown: bool | None = None) -> DataFrame:
+    """Batch point read `key IN (...)` — the training-pipeline shape
+    (fetch a batch of conversations by id) as ONE job instead of N point
+    reads. Same three pruning levels as read_rows, each generalized to
+    any-of-the-keys: (1) stripe lineage envelope range + per-key bloom OR
+    (up to MAX_BLOOM_KEYS keys; beyond that the [min, max] envelope alone
+    — still prunes sorted/range-partitioned layouts); (2) row-group index
+    prune where ANY key fits the group's range (+ rg_bloom when
+    recorded); (3) one exact Catalyst isin filter."""
+    keys = sorted(set(key_values))
+    if not keys:
+        raise ValueError("key_values must be non-empty")
+    pruned = prune_stripes(stripes, key_values=keys)
+    if id_pushdown is None:
+        id_pushdown = _is_bare_scan(stripes)
+    if id_pushdown:
+        ids = [r[0] for r in pruned.select("stripe_id")
+               .limit(MAX_PUSHDOWN_IDS + 1).collect()]
+        if len(ids) <= MAX_PUSHDOWN_IDS:
+            pruned = stripes.filter(F.col("stripe_id").isin(ids))
+    out = decode_df(pruned, spec, columns=columns,
+                    rg_predicate={"key_values": keys})
+    return out.filter(F.col(key_col).isin(keys))
+
+
 def read_where(stripes: DataFrame, spec: list[dict], col: str | None = None,
                lo=None, hi=None,
                columns: list[str] | None = None,
@@ -843,8 +870,14 @@ def run_stats(stripes: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- lineage --
 
 
+MAX_BLOOM_KEYS = 64  # per-key OR bloom predicates above this would bloat
+#                        the Catalyst expression; fall back to the keys'
+#                        [min, max] envelope range (still prunes sorted /
+#                        range-partitioned layouts)
+
+
 def prune_stripes(stripes: DataFrame, key_value=None,
-                  lo=None, hi=None) -> DataFrame:
+                  lo=None, hi=None, key_values=None) -> DataFrame:
     """Stripe-level predicate pushdown using the lineage [key_min, key_max]
     range — the analog of the reference's row-index stats-based seek/skip
     (/root/reference/orc/stripe.go:369-388): stripes whose key range cannot
@@ -853,6 +886,9 @@ def prune_stripes(stripes: DataFrame, key_value=None,
     materialized for skipped stripes)."""
     if key_value is not None:
         lo = hi = key_value
+    if key_values is not None:
+        key_values = sorted(set(key_values))
+        lo, hi = key_values[0], key_values[-1]
     cond = F.lit(True)
     # NULL bounds (keyless encode, all-null key stripe) mean UNKNOWN, not
     # out-of-range: keep the stripe — a wasted read, never a wrong skip
@@ -862,7 +898,10 @@ def prune_stripes(stripes: DataFrame, key_value=None,
     if lo is not None:
         cond = cond & (F.col("key_max").isNull()
                        | (F.col("key_max") >= F.lit(lo)))
-    if key_value is not None and "key_bloom" in stripes.columns:
+    probes = [key_value] if key_value is not None else (
+        key_values if key_values is not None
+        and len(key_values) <= MAX_BLOOM_KEYS else [])
+    if probes and "key_bloom" in stripes.columns:
         # bloom probe with built-ins only: the k probe positions are a
         # driver-side constant for the literal key, so each test is one
         # substring/hex/conv/bitwiseAND over the 8 KB filter — the whole
@@ -870,13 +909,16 @@ def prune_stripes(stripes: DataFrame, key_value=None,
         # partitioning this is what skips stripes (every stripe's
         # [key_min, key_max] range spans the key space there). NULL bloom
         # (legacy stripes, keyless encodes) never skips.
-        probe = F.lit(True)
-        for p in bloom_positions(key_value):
-            byte = F.conv(
-                F.hex(F.substring(F.col("key_bloom"), p // 8 + 1, 1)),
-                16, 10).cast("int")
-            probe = probe & (byte.bitwiseAND(F.lit(1 << (p & 7))) != 0)
-        cond = cond & (F.col("key_bloom").isNull() | probe)
+        any_probe = F.lit(False)
+        for kv in probes:
+            probe = F.lit(True)
+            for p in bloom_positions(kv):
+                byte = F.conv(
+                    F.hex(F.substring(F.col("key_bloom"), p // 8 + 1, 1)),
+                    16, 10).cast("int")
+                probe = probe & (byte.bitwiseAND(F.lit(1 << (p & 7))) != 0)
+            any_probe = any_probe | probe
+        cond = cond & (F.col("key_bloom").isNull() | any_probe)
     return stripes.filter(cond)
 
 

@@ -435,3 +435,30 @@ def test_rg_bloom_prunes_unsorted_groups():
         table, transcripts.TRANSCRIPTS_SPEC, rg_rows=1000,
         key_col="conv_id", ord_col="turn_idx")
     assert all("key_bloom" not in g for g in meta2["row_groups"])
+
+
+def test_read_rows_in_batch_lookup(spark):
+    """engine.read_rows_in: one job fetches a batch of keys with the same
+    three-level pruning as read_rows generalized to any-of-the-keys; the
+    result equals the brute isin filter over the decoded table."""
+    from goorc_spark import engine, transcripts
+
+    df = transcripts.transcripts_from_events(spark, "/root/testdata/sf0.001")
+    cfg = engine.EncodeConfig(key_col="conv_id", order_cols=("turn_idx",),
+                              stripe_bytes=1 << 20, partitions=4,
+                              rg_rows=500, run_id="t_multi")
+    stripes = engine.encode_df(df, cfg).cache()
+    stripes.count()
+    keys = ["conv-00000001", "conv-00000007"]
+    got = engine.read_rows_in(stripes, transcripts.TRANSCRIPTS_SPEC,
+                              "conv_id", keys)
+    want = df.filter(df.conv_id.isin(keys))
+    a = got.toPandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    b = want.toPandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    assert a.equals(b[a.columns])
+    import pytest
+    with pytest.raises(ValueError):
+        engine.read_rows_in(stripes, transcripts.TRANSCRIPTS_SPEC,
+                            "conv_id", [])

@@ -172,17 +172,30 @@ def _rg_bloom_entry(arr, fpp: float) -> dict:
     return {"k": k, "b64": base64.b64encode(words.tobytes()).decode()}
 
 
-def rg_bloom_probe(entry: dict, key_value) -> bool:
-    """Membership test against a _rg_bloom_entry (False = provably absent)."""
-    import base64
-
+def _rg_bloom_key_hash(key_value) -> int:
+    """Writer-domain 64-bit hash of one probe key (canonical bytes: raw
+    UTF-8/bytes for strings, str(value) otherwise — mirrors
+    _rg_bloom_entry)."""
     from goorc_spark.codecs import murmur3
 
     data = key_value if isinstance(key_value, bytes) else (
         key_value.encode() if isinstance(key_value, str)
         else str(key_value).encode())
-    words = np.frombuffer(base64.b64decode(entry["b64"]), dtype="<u8")
-    return murmur3.might_contain(words, entry["k"], murmur3.hash64(data))
+    return murmur3.hash64(data)
+
+
+def _rg_bloom_words(entry: dict) -> np.ndarray:
+    import base64
+
+    return np.frombuffer(base64.b64decode(entry["b64"]), dtype="<u8")
+
+
+def rg_bloom_probe(entry: dict, key_value) -> bool:
+    """Membership test against a _rg_bloom_entry (False = provably absent)."""
+    from goorc_spark.codecs import murmur3
+
+    return murmur3.might_contain(_rg_bloom_words(entry), entry["k"],
+                                 _rg_bloom_key_hash(key_value))
 
 
 def encode_stripe_table(
@@ -442,12 +455,21 @@ def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
         return None
     if key_value is not None:
         key_lo = key_hi = key_value
+    from goorc_spark.codecs import murmur3
+    # probe-key hashes are loop-invariant: hash each key ONCE, decode each
+    # group's bloom words once (not per (group, key) pair)
+    key_hashes = [(kv, _rg_bloom_key_hash(kv)) for kv in key_values] \
+        if key_values is not None else None
+    kv_hash = _rg_bloom_key_hash(key_value) if key_value is not None \
+        else None
     sel = []
     for i, g in enumerate(groups):
         ok = True
-        if key_values is not None:
+        if key_hashes is not None:
             gmin, gmax = g.get("key_min"), g.get("key_max")
-            def _fits(kv):
+            entry = g.get("key_bloom")
+            bw = _rg_bloom_words(entry) if entry is not None else None
+            def _fits(kv, h64):
                 if gmin is not None:
                     lo, p = _coerce_bound(gmin, kv)
                     if lo > p:
@@ -456,11 +478,11 @@ def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
                     hi, p = _coerce_bound(gmax, kv)
                     if hi < p:
                         return False
-                if "key_bloom" in g and not rg_bloom_probe(g["key_bloom"],
-                                                          kv):
+                if bw is not None and not murmur3.might_contain(
+                        bw, entry["k"], h64):
                     return False
                 return True
-            ok = any(_fits(kv) for kv in key_values)
+            ok = any(_fits(kv, h64) for kv, h64 in key_hashes)
         if key_hi is not None and "key_min" in g and g["key_min"] is not None:
             lo, p = _coerce_bound(g["key_min"], key_hi)
             ok = ok and lo <= p
@@ -484,10 +506,11 @@ def select_row_groups(meta: dict, key_value=None, key_lo=None, key_hi=None,
                 if vlo is not None:
                     hi, p = _coerce_bound(r[1], vlo)
                     ok = ok and hi >= p
-        if ok and key_value is not None and "key_bloom" in g:
+        if ok and kv_hash is not None and "key_bloom" in g:
             # range checks can't prune hash-placed groups (every range
             # spans the key space); the per-group bloom can
-            ok = rg_bloom_probe(g["key_bloom"], key_value)
+            ok = murmur3.might_contain(_rg_bloom_words(g["key_bloom"]),
+                                       g["key_bloom"]["k"], kv_hash)
         if ok:
             sel.append(i)
     return sel

@@ -96,6 +96,42 @@ def train(data: bytes) -> list[bytes]:
     return table
 
 
+def _exact_membership(keys: np.ndarray, payload: np.ndarray,
+                      probes: np.ndarray):
+    """(hit_mask, payload_at_hits) of `probes` against the small `keys`
+    set: a tiny perfect-hash table — smallest modulus that maps the keys
+    collision-free, found in a few doubling tries — does membership with
+    one modulo + two gathers instead of a branchy binary search per probe
+    (measured 10x on ~10^6 probes vs ~10^2 keys). Falls back to
+    searchsorted when no small modulus exists. Exact either way, so
+    callers' output bytes are unchanged."""
+    M = 0
+    trial = max(2 * len(keys), 16)
+    while trial <= 1 << 16:
+        if len(np.unique(keys % keys.dtype.type(trial))) == len(keys):
+            M = trial
+            break
+        trial = trial * 2 + 1
+    if M:
+        Md = keys.dtype.type(M)
+        slot_key = np.zeros(M, dtype=keys.dtype)
+        slot_pay = np.zeros(M, dtype=payload.dtype)
+        slot_ok = np.zeros(M, dtype=bool)
+        at0 = keys % Md
+        slot_key[at0] = keys
+        slot_pay[at0] = payload
+        slot_ok[at0] = True
+        probe = probes % Md
+        hit = slot_ok[probe] & (slot_key[probe] == probes)
+        return hit, slot_pay[probe[hit]]
+    sidx = np.argsort(keys)
+    skeys, spay = keys[sidx], payload[sidx]
+    at = np.searchsorted(skeys, probes)
+    at[at == len(skeys)] = 0
+    hit = skeys[at] == probes
+    return hit, spay[at[hit]]
+
+
 def _drop_overlaps(pos: np.ndarray, codes: np.ndarray, L: int):
     """Remove self-overlapping matches left-to-right (few passes converge)."""
     while len(pos) > 1:
@@ -157,38 +193,8 @@ def _candidate_scan(h4: np.ndarray, n: int, by_len: dict) -> dict:
         hv = h4[c0]
         pref = np.array(sorted(pref_mask), dtype=np.uint32)
         masks = np.array([pref_mask[int(k)] for k in pref], dtype=np.uint8)
-        # exact membership of ~10^6 candidate keys against ~10^2 symbol
-        # prefixes: a tiny perfect-hash table (smallest M with pref % M
-        # collision-free — found in a few tries for any ~100-key set)
-        # replaces searchsorted, one modulo + two gathers instead of a
-        # branchy 7-step binary search per candidate (measured 0.35s ->
-        # 0.04s on a 3 MB stream; hit set identical, so output bytes are
-        # unchanged — pinned by the golden stripe fixture)
-        M = 0
-        trial = max(2 * len(pref), 16)
-        while trial <= 1 << 16:
-            if len(np.unique(pref % np.uint32(trial))) == len(pref):
-                M = trial
-                break
-            trial = trial * 2 + 1
-        if M:
-            slot_key = np.zeros(M, dtype=np.uint32)
-            slot_mask = np.zeros(M, dtype=np.uint8)
-            slot_ok = np.zeros(M, dtype=bool)
-            at0 = pref % np.uint32(M)
-            slot_key[at0] = pref
-            slot_mask[at0] = masks
-            slot_ok[at0] = True
-            probe = hv % np.uint32(M)
-            hit = slot_ok[probe] & (slot_key[probe] == hv)
-            hits = c0[hit]
-            hit_masks = slot_mask[probe[hit]]
-        else:  # no small collision-free modulus: binary-search fallback
-            at = np.searchsorted(pref, hv)
-            at[at == len(pref)] = 0
-            hit = pref[at] == hv
-            hits = c0[hit]
-            hit_masks = masks[at[hit]]
+        hit, hit_masks = _exact_membership(pref, masks, hv)
+        hits = c0[hit]
         for ci, L in hi:
             out[L] = hits[(hit_masks & (1 << ci)) != 0]
     for ci, L in enumerate(classes):
@@ -231,36 +237,8 @@ def _match_length_class(h4: np.ndarray, n: int, cand,
     sym_keys = np.array([int.from_bytes(bytes(s), "big") for _, s in syms],
                         dtype=np.uint64)
     sym_codes = np.array([c for c, _ in syms], dtype=np.int16)
-    # exact membership via tiny perfect-hash (same trick as
-    # _candidate_scan: ~60 symbol keys vs ~10^6 candidates — one modulo
-    # beats the branchy binary search; hit set identical, bytes pinned)
-    M = 0
-    trial = max(2 * len(sym_keys), 16)
-    while trial <= 1 << 16:
-        if len(np.unique(sym_keys % np.uint64(trial))) == len(sym_keys):
-            M = trial
-            break
-        trial = trial * 2 + 1
-    if M:
-        slot_key = np.zeros(M, dtype=np.uint64)
-        slot_code = np.zeros(M, dtype=np.int16)
-        slot_ok = np.zeros(M, dtype=bool)
-        at0 = sym_keys % np.uint64(M)
-        slot_key[at0] = sym_keys
-        slot_code[at0] = sym_codes
-        slot_ok[at0] = True
-        probe = keys % np.uint64(M)
-        hit = slot_ok[probe] & (slot_key[probe] == keys)
-        pos = cand[hit]
-        codes = slot_code[probe[hit]]
-    else:
-        sidx = np.argsort(sym_keys)
-        sym_keys, sym_codes = sym_keys[sidx], sym_codes[sidx]
-        at = np.searchsorted(sym_keys, keys)
-        at[at == len(sym_keys)] = 0
-        hit = sym_keys[at] == keys
-        pos = cand[hit]
-        codes = sym_codes[at[hit]]
+    hit, codes = _exact_membership(sym_keys, sym_codes, keys)
+    pos = cand[hit]
     ok = np.ones(len(pos), dtype=bool)
     for j in range(1, L):
         ok &= ~taken[pos + j]

@@ -250,6 +250,10 @@ def positions_many(h: np.ndarray, k: int, m_bits: int) -> np.ndarray:
 def bloom_params(expected_n: int, fpp: float) -> tuple[int, int]:
     """(m_bits rounded up to whole uint64 words, k hash count) — the
     sizing every ORC writer applies for its per-row-group filters."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"bloom fpp must be in (0, 1), got {fpp!r} — "
+                         "fpp >= 1 would size a zero-bit filter that "
+                         "divides by zero at probe time")
     expected_n = max(expected_n, 1)
     m = math.ceil(-expected_n * math.log(fpp) / (math.log(2) ** 2))
     m = (m + 63) // 64 * 64

@@ -558,8 +558,13 @@ def _bloom_hash_value(kind: int, value) -> int:
     if kind == T_DECIMAL:
         # both writers hash the NORMALIZED plain decimal string (trailing
         # zeros stripped; the full-scale text misses every trailing-zero
-        # value against both writers — pinned)
+        # value against both writers — pinned). Floats go through str()
+        # first: Decimal(0.1) is the 55-digit binary expansion, which
+        # hashes to a value the writer never inserted — a silent wrong
+        # prune, not a near-miss.
         from decimal import Decimal
+        if isinstance(value, float):
+            value = str(value)
         return murmur3.hash64(
             format(Decimal(value).normalize(), "f").encode())
     if kind in _BLOOM_LONG_KINDS:
@@ -684,8 +689,15 @@ def _decode_stripe_eq(data: bytes, stripe: dict, sf: dict, comp: int,
         while g < len(keep) and keep[g]:
             g += 1
         rows = min(g * stride, n) - g0 * stride
-        cur = _SeekCursor(data, stripe, sf, comp, types, g0, metrics)
-        parts.append(_decode_column(cur, types, 0, rows, tz_base, include))
+        try:
+            cur = _SeekCursor(data, stripe, sf, comp, types, g0, metrics)
+            parts.append(_decode_column(cur, types, 0, rows, tz_base,
+                                        include))
+        except NotImplementedError:
+            # foreign position layout: the prune verdict still stands,
+            # but seeking can't — degrade to one whole-stripe decode
+            cur = _StripeCursor(data, stripe, sf, comp, metrics)
+            return _decode_column(cur, types, 0, n, tz_base, include)
     if len(parts) == 1:
         return parts[0]
     # concatenate struct arrays via a table round-trip (zero-copy batches)
@@ -2092,7 +2104,7 @@ def read_orc_stripes(spark, path_glob: str,
     # + ROW_INDEX stats — stripe pruning above cut whole stripes from the
     # plan; this cuts decode work INSIDE each surviving stripe. Still a
     # superset: apply the exact .filter on the result.
-    eq_name = eq_value = None
+    eq_name = eq_value = eq_h64 = None
     if predicate:
         name_to_id0 = dict(zip(root["field_names"], root["subtypes"]))
         for c, (lo, hi) in predicate.items():
@@ -2100,17 +2112,27 @@ def read_orc_stripes(spark, path_glob: str,
                     and types0[name_to_id0[c]]["kind"] in \
                     (_BLOOM_STR_KINDS | _BLOOM_LONG_KINDS
                      | {T_TIMESTAMP, T_DECIMAL}):
+                # hash ONCE at plan time — this also validates the value's
+                # type against the column's hash domain on the driver; a
+                # mismatch (e.g. an int bound on a timestamp column)
+                # degrades to the stats-only predicate contract instead of
+                # crashing every decode task
+                try:
+                    eq_h64 = _bloom_hash_value(
+                        types0[name_to_id0[c]]["kind"], lo)
+                except (TypeError, AttributeError, ValueError,
+                        ArithmeticError):
+                    continue
                 eq_name, eq_value = c, lo
                 break
 
     def decode(batches):
         types = _json.loads(types_json)
         inc = _include_ids(types, columns)
-        eq_id = h64 = None
+        eq_id, h64 = None, eq_h64
         if eq_name is not None:
             r0 = types[0]
             eq_id = r0["subtypes"][r0["field_names"].index(eq_name)]
-            h64 = _bloom_hash_value(types[eq_id]["kind"], eq_value)
         for rb in batches:
             for i in range(rb.num_rows):
                 r = {k: rb.column(k)[i].as_py() for k in
@@ -2130,17 +2152,11 @@ def read_orc_stripes(spark, path_glob: str,
                          "n_rows": r["n_rows"]}
                 tz_base = _tz_base_seconds(sf["timezone"])
                 if eq_id is not None and r["stride"]:
-                    try:
-                        root_arr = _decode_stripe_eq(
-                            data, local, sf, r["compression"], types,
-                            r["stride"], eq_id, [eq_value], [h64], inc,
-                            None)
-                    except NotImplementedError:
-                        # unknown positions layout: whole-stripe fallback
-                        root_arr = _decode_column(
-                            _StripeCursor(data, local, sf,
-                                          r["compression"]),
-                            types, 0, r["n_rows"], tz_base, inc)
+                    # _decode_stripe_eq degrades to whole-stripe decode
+                    # itself on foreign ROW_INDEX position layouts
+                    root_arr = _decode_stripe_eq(
+                        data, local, sf, r["compression"], types,
+                        r["stride"], eq_id, [eq_value], [h64], inc, None)
                     if root_arr is None:
                         continue
                 else:

@@ -328,3 +328,47 @@ def test_read_orc_eq_in_list(native_bloom_file):
     assert met["groups_decoded"] == 2
     assert on.read_orc_eq(data, "v", {0, -2000, 10 ** 9}).num_rows == 2
     assert on.read_orc_eq(data, "k", ["no1", "no2"]).num_rows == 0
+
+
+def test_bloom_fpp_validation():
+    with pytest.raises(ValueError, match="fpp"):
+        mm.bloom_params(1000, 1.0)
+    with pytest.raises(ValueError, match="fpp"):
+        mm.bloom_params(1000, 0.0)
+
+
+def test_decimal_float_predicate_value_coerces_via_str():
+    """A float predicate value on a decimal column must hash as its
+    decimal TEXT (Decimal(str(v))), not its 55-digit binary expansion —
+    the latter silently bloom-prunes groups that contain real matches."""
+    from decimal import Decimal
+    t = pa.table({"amount": pa.array([Decimal("0.10"), Decimal("7.25")],
+                                     type=pa.decimal128(10, 2))})
+    d = on.write_orc(t, row_index_stride=8, bloom_columns=("amount",),
+                     stripe_rows=8)
+    assert on.read_orc_eq(d, "amount", 0.1).num_rows == 1
+    assert on.read_orc_eq(d, "amount", Decimal("7.25")).num_rows == 1
+    assert on.read_orc_eq(d, "amount", 0.2).num_rows == 0
+
+
+def test_stripes_eq_wrong_typed_predicate_degrades(spark, tmp_path):
+    """An equality predicate whose Python value doesn't fit the column's
+    hash domain (int bound on a TIMESTAMP column) must degrade to the
+    stats-only contract — a conservative full read — not crash every
+    decode task (the hash is computed once at plan time now)."""
+    d = tmp_path / "tsd"
+    d.mkdir()
+    ts = [datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
+          for i in range(2000)]
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "v": pa.array(range(2000), type=pa.int64())})
+    (d / "f.orc").write_bytes(on.write_orc(
+        t, compression="zlib", stripe_rows=1000, row_index_stride=1000,
+        bloom_columns=("ts",)))
+    df = on.read_orc_stripes(spark, str(d / "*.orc"),
+                             predicate={"ts": (169, 169)})
+    assert df.count() == 2000  # degraded superset, no crash
+    want = datetime.datetime(2024, 1, 1, 0, 42)
+    df2 = on.read_orc_stripes(spark, str(d / "*.orc"),
+                              predicate={"ts": (want, want)})
+    assert df2.filter(df2.ts == want).count() == 1

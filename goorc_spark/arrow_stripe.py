@@ -151,11 +151,15 @@ def _rg_bloom_entry(arr, fpp: float) -> dict:
     """Per-row-group bloom over the group's DISTINCT key values, sized to
     the distinct count (a conv-clustered 10k-row group holds ~1k convs ->
     ~1.2 KB at 1% fpp). Canonical hash bytes: raw UTF-8/bytes for
-    string/binary keys (vectorized off the Arrow buffers), str(value) for
-    anything else — select_row_groups probes with the same form."""
+    string/binary keys (vectorized off the Arrow buffers),
+    primitives.canonical_key_bytes for anything else (equal-comparing
+    values hash identically — Decimal('1.50')==Decimal('1.5'), tz-aware
+    instants, 1.0==1; ADVICE r4) — select_row_groups probes with the same
+    form."""
     import base64
 
     from goorc_spark.codecs import murmur3
+    from goorc_spark.codecs.primitives import canonical_key_bytes
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -166,22 +170,19 @@ def _rg_bloom_entry(arr, fpp: float) -> dict:
         hashes = murmur3.hash64_arrow(dist)
     else:
         hashes = murmur3.hash64_many(
-            [str(v).encode() for v in dist.to_pylist()])
+            [canonical_key_bytes(v) for v in dist.to_pylist()])
     m, k = murmur3.bloom_params(max(len(dist), 1), fpp)
     words = murmur3.build_bloom(hashes, k, m)
     return {"k": k, "b64": base64.b64encode(words.tobytes()).decode()}
 
 
 def _rg_bloom_key_hash(key_value) -> int:
-    """Writer-domain 64-bit hash of one probe key (canonical bytes: raw
-    UTF-8/bytes for strings, str(value) otherwise — mirrors
-    _rg_bloom_entry)."""
+    """Writer-domain 64-bit hash of one probe key
+    (primitives.canonical_key_bytes — mirrors _rg_bloom_entry)."""
     from goorc_spark.codecs import murmur3
+    from goorc_spark.codecs.primitives import canonical_key_bytes
 
-    data = key_value if isinstance(key_value, bytes) else (
-        key_value.encode() if isinstance(key_value, str)
-        else str(key_value).encode())
-    return murmur3.hash64(data)
+    return murmur3.hash64(canonical_key_bytes(key_value))
 
 
 def _rg_bloom_words(entry: dict) -> np.ndarray:

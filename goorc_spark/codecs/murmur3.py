@@ -176,16 +176,50 @@ def hash64_arrow(arr, seed: int = DEFAULT_SEED) -> np.ndarray:
     return hash64_flat(data, offs[:-1], np.diff(offs), seed)
 
 
+# Padded-matrix budget for one hash64_flat block call: the matrix is
+# n_values x (max_len + 8) bytes, so a single long outlier (one 10 MB text
+# doc among 10k short keys) would allocate n * max_len ~ 100 GB and OOM the
+# executor (ADVICE r4). Above the budget, values are BUCKETED by length
+# (geometric 4x thresholds) so each sub-matrix's width tracks its bucket's
+# max, not the global max.
+_FLAT_BUDGET = 64 << 20
+_FLAT_SCALAR_CUTOFF = 16_384  # longer values hash via the scalar loop
+
+
 def hash64_flat(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                 seed: int = DEFAULT_SEED) -> np.ndarray:
-    """Core vectorized hash64: values live at flat[starts[i]:][:lens[i]].
-    Iterates over 8-byte BLOCK positions with every value as a lane; the
-    tail block is a single masked gather (the scalar high-to-low byte fold
-    equals the little-endian uint64 of the tail bytes). Bit-exact with
-    hash64 (pinned in tests)."""
+    """Vectorized hash64 dispatcher: values live at flat[starts[i]:][:lens[i]].
+    One padded-matrix pass when n * (max_len + 8) fits _FLAT_BUDGET, else
+    length-bucketed passes (identical results, bounded memory)."""
     n = len(lens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    max_len = int(lens.max())
+    if n * (max_len + 8) <= _FLAT_BUDGET:
+        return _hash64_flat_block(flat, starts, lens, seed)
+    out = np.empty(n, dtype=np.uint64)
+    long = lens > _FLAT_SCALAR_CUTOFF
+    if long.any():  # scalar loop beats a few-lane numpy per-block loop
+        out[long] = [hash64(bytes(flat[s:s + l]), seed)
+                     for s, l in zip(starts[long], lens[long])]
+    rest_max = int(lens[~long].max()) if (~long).any() else 0
+    lo = -1
+    hi = max(64, int(_FLAT_BUDGET // max(n, 1)))
+    while lo < rest_max:
+        m = (lens > lo) & (lens <= hi) & ~long
+        if m.any():
+            out[m] = _hash64_flat_block(flat, starts[m], lens[m], seed)
+        lo, hi = hi, hi * 4
+    return out
+
+
+def _hash64_flat_block(flat: np.ndarray, starts: np.ndarray,
+                       lens: np.ndarray, seed: int) -> np.ndarray:
+    """Core padded-matrix hash64: iterates over 8-byte BLOCK positions with
+    every value as a lane; the tail block is a single masked gather (the
+    scalar high-to-low byte fold equals the little-endian uint64 of the
+    tail bytes). Bit-exact with hash64 (pinned in tests)."""
+    n = len(lens)
     nblocks = lens >> 3
     max_nb = int(nblocks.max())
     # pad every value to (max_nb + 1) whole blocks so tail gathers are safe

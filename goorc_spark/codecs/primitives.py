@@ -190,3 +190,42 @@ def svarint1(v: int) -> bytes:
 def decode_svarints(data, count: int, offset: int = 0):
     u, off = decode_uvarints(data, count, offset)
     return unzigzag(u), off
+
+
+def canonical_key_bytes(value) -> bytes:
+    """Canonical hash bytes for a bloom/index probe key: values that COMPARE
+    equal must map to identical bytes, or a bloom falsely prunes and a read
+    silently drops matching rows (ADVICE r4). Rules:
+
+    - bytes/str: raw bytes / UTF-8 (unchanged vs the historical str() form);
+    - bool -> int (True == 1), integral float -> int (1.0 == 1);
+    - Decimal: normalized plain-format string (Decimal('1.50') == '1.5';
+      format(..., 'f') avoids normalize()'s '1E+2' exponent form, and an
+      integral Decimal('5.00') collapses to '5' == int 5);
+    - tz-aware datetime: converted to UTC and stripped (equal instants in
+      different zones stringify identically; naive stays naive — the two
+      never compare equal so they may hash apart).
+    Everything else keeps str(value) (dates, naive datetimes: str() is
+    already canonical for equal values).
+    """
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(value, bytes):
+        return value
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, bool):
+        return str(int(value)).encode()
+    if isinstance(value, float):
+        if value.is_integer():
+            return str(int(value)).encode()
+        return str(value).encode()  # inf/nan included (nan never matches)
+    if isinstance(value, _decimal.Decimal):
+        if value.is_finite():
+            return format(value.normalize(), "f").encode()
+        return str(value).encode()
+    if isinstance(value, _dt.datetime) and value.tzinfo is not None:
+        value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return str(value).encode()
+    return str(value).encode()

@@ -54,7 +54,9 @@ def _decode_runs(data, count: int, signed: bool, slack: int):
         off += 1
         if c < 128:
             rep = c + MIN_REPEAT
-            delta = int(np.int8(buf[off]))
+            # sign-extend the delta byte without np.int8 (out-of-bound
+            # conversion raises OverflowError on NumPy >= 2.0)
+            delta = buf[off] - 256 if buf[off] >= 128 else buf[off]
             off += 1
             if signed:
                 vals, off = decode_svarints(buf, 1, off)

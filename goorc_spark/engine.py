@@ -76,11 +76,11 @@ _FNV_PRIME = 0x100000001B3
 _U64 = (1 << 64) - 1
 
 
-def _bloom_hashes(key_str: str) -> tuple[int, int]:
-    """Two 64-bit FNV-1a hashes of the canonical (str) key — h2 forced odd
+def _bloom_hashes(key_bytes: bytes) -> tuple[int, int]:
+    """Two 64-bit FNV-1a hashes of the canonical key bytes — h2 forced odd
     so Kirsch-Mitzenmacher double hashing cycles all positions."""
     h1 = _FNV_OFFSET
-    for b in key_str.encode("utf-8"):
+    for b in key_bytes:
         h1 = ((h1 ^ b) * _FNV_PRIME) & _U64
     h2 = h1
     for b in b"goorc-bloom":
@@ -89,8 +89,12 @@ def _bloom_hashes(key_str: str) -> tuple[int, int]:
 
 
 def bloom_positions(key_value) -> list[int]:
-    """The k probe bit positions for a key (same math at encode and query)."""
-    h1, h2 = _bloom_hashes(str(key_value))
+    """The k probe bit positions for a key (same math at encode and query;
+    canonical_key_bytes so equal-comparing Decimal/datetime/float forms
+    probe the same bits — ADVICE r4)."""
+    from goorc_spark.codecs.primitives import canonical_key_bytes
+
+    h1, h2 = _bloom_hashes(canonical_key_bytes(key_value))
     return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
 
 
@@ -101,15 +105,52 @@ def _build_bloom(values) -> bytes:
     POSITIONS (max key length, ~13 for conv ids) with every key as a
     uint64 lane. numpy uint64 arithmetic wraps mod 2^64, which is exactly
     the scalar (& _U64) math; bit-exact with bloom_positions, pinned by
-    tests/test_bloom.py::test_build_bloom_matches_scalar."""
-    enc = [str(v).encode("utf-8") for v in values if v is not None]
+    tests/test_bloom.py::test_build_bloom_matches_scalar. Keys are hashed
+    in length buckets (4x geometric) so the padded matrix's width tracks
+    the bucket max, not one long outlier value (ADVICE r4: a single 10 MB
+    key among 50k short ones must not allocate n * max_len bytes)."""
+    from goorc_spark.codecs.primitives import canonical_key_bytes
+
+    enc = [canonical_key_bytes(v) for v in values if v is not None]
     if not enc:
         return bytes(BLOOM_BITS // 8)
     n = len(enc)
     lens = np.fromiter((len(b) for b in enc), np.int64, count=n)
-    width = int(lens.max())
     flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    h1 = np.empty(n, dtype=np.uint64)
+    long = lens > _BLOOM_SCALAR_CUTOFF
+    if long.any():  # scalar loop beats a 1-lane numpy per-byte loop
+        h1[long] = [_bloom_hashes(bytes(flat[s:s + l]))[0]
+                    for s, l in zip(starts[long], lens[long])]
+    max_len = int(lens[~long].max()) if (~long).any() else 0
+    lo, hi = -1, max(64, _BLOOM_MAT_BUDGET // max(n, 1))
+    while lo < max_len:
+        m = (lens > lo) & (lens <= hi) & ~long
+        if m.any():
+            h1[m] = _fnv1a_block(flat, starts[m], lens[m])
+        lo, hi = hi, hi * 4
+    prime = np.uint64(_FNV_PRIME)
+    h2 = h1.copy()
+    for b in b"goorc-bloom":
+        h2 = (h2 ^ np.uint64(b)) * prime
+    h2 |= np.uint64(1)
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    for i in range(BLOOM_K):
+        bits[(h1 + np.uint64(i) * h2) % np.uint64(BLOOM_BITS)] = True
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+_BLOOM_MAT_BUDGET = 64 << 20   # bytes per padded matrix pass
+_BLOOM_SCALAR_CUTOFF = 16_384  # keys longer than this hash via the scalar
+                               # loop (few lanes x huge width loses to it)
+
+
+def _fnv1a_block(flat: np.ndarray, starts: np.ndarray,
+                 lens: np.ndarray) -> np.ndarray:
+    """One padded-matrix FNV-1a pass over values of similar length."""
+    n = len(lens)
+    width = int(lens.max())
     valid = np.arange(width)[None, :] < lens[:, None]
     mat = np.zeros((n, width), dtype=np.uint8)
     idx = starts[:, None] + np.arange(width)[None, :]
@@ -119,14 +160,7 @@ def _build_bloom(values) -> bytes:
     for j in range(width):
         m = valid[:, j]
         h1[m] = (h1[m] ^ mat[m, j].astype(np.uint64)) * prime
-    h2 = h1.copy()
-    for b in b"goorc-bloom":
-        h2 = (h2 ^ np.uint64(b)) * prime
-    h2 |= np.uint64(1)
-    bits = np.zeros(BLOOM_BITS, dtype=bool)
-    for i in range(BLOOM_K):
-        bits[(h1 + np.uint64(i) * h2) % np.uint64(BLOOM_BITS)] = True
-    return np.packbits(bits, bitorder="little").tobytes()
+    return h1
 
 
 @dataclass

@@ -554,6 +554,20 @@ def connected_components(docs: DataFrame, pairs: DataFrame,
     return _cc_propagate(docs, pairs, max_iters)
 
 
+def _cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate iterative lineage. Uses RELIABLE df.checkpoint() when the
+    session has a checkpoint dir configured
+    (spark.sparkContext.setCheckpointDir(...)) — survives executor loss,
+    the right mode for long component jobs on preemptible nodes — else
+    localCheckpoint(), whose blocks live only on executors: losing one
+    mid-job makes the truncated lineage unrecoverable and fails the job
+    (ADVICE r4). Set a checkpoint dir for fault tolerance at scale."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager)
+    return df.localCheckpoint(eager)
+
+
 def _cc_propagate(docs: DataFrame, pairs: DataFrame,
                   max_iters: int) -> DataFrame:
     edges = pairs.union(
@@ -575,7 +589,7 @@ def _cc_propagate(docs: DataFrame, pairs: DataFrame,
         )
         # truncate the growing iterative lineage every few rounds —
         # without it a deep chain re-plans an ever-taller join tree
-        new = new.localCheckpoint(eager=False) if it % 4 == 3 else new.cache()
+        new = _cut_lineage(new, eager=False) if it % 4 == 3 else new.cache()
         changed = (
             new.join(labels.withColumnRenamed("component", "old"), "doc_id")
             .filter(F.col("component") != F.col("old")).count()
@@ -593,13 +607,15 @@ def _cc_star(docs: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:
     fixed (then the graph is a union of stars centered at each component's
     min). Every step is an equi-join + groupBy min — the same shuffle
     shape as one propagation round — but the round COUNT is logarithmic in
-    component size regardless of diameter. Edge state is localCheckpointed
-    per round: the edge set shrinks toward one edge per non-min node, and
-    the plan would otherwise grow by four joins per round."""
+    component size regardless of diameter. Edge state is checkpointed per
+    round (_cut_lineage: reliable when a checkpoint dir is set, else
+    local): the edge set shrinks toward one edge per non-min node, and the
+    plan would otherwise grow by four joins per round."""
     e = (pairs.filter(F.col("doc_a") != F.col("doc_b"))
          .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-        .distinct().localCheckpoint()
+    e = _cut_lineage(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct())
     n_edges = e.count()
     for _ in range(max_iters):
         if n_edges == 0:
@@ -623,11 +639,11 @@ def _cc_star(docs: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:
                  .union(mins2.select(F.col("u").alias("a"),
                                      F.col("m").alias("b")))
                  .filter(F.col("a") != F.col("b")).distinct())
-        new = small.union(small.select(F.col("b").alias("a"),
-                                       F.col("a").alias("b"))) \
-            .distinct() \
-            .select(F.col("a").alias("u"), F.col("b").alias("v")) \
-            .localCheckpoint()
+        new = _cut_lineage(
+            small.union(small.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+            .distinct()
+            .select(F.col("a").alias("u"), F.col("b").alias("v")))
         new_n = new.count()
         converged = (new_n == n_edges
                      and new.exceptAll(e).limit(1).count() == 0)

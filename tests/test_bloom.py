@@ -186,3 +186,58 @@ def test_build_bloom_matches_scalar():
     assert got == bytes(bits)
     assert engine._build_bloom([None]) == bytes(engine.BLOOM_BITS // 8)
     assert engine._build_bloom([None, 7]) == engine._build_bloom([7])
+
+
+def test_build_bloom_canonical_equal_values():
+    """ADVICE r4: equal-comparing values must probe the same bits —
+    Decimal('1.50') vs Decimal('1.5'), tz-aware instants in different
+    zones, 1.0 vs 1 — or the bloom falsely prunes and reads silently drop
+    matching rows."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from goorc_spark.codecs.primitives import canonical_key_bytes
+
+    pairs = [
+        (Decimal("1.50"), Decimal("1.5")),
+        (Decimal("100"), Decimal("1E+2")),
+        (Decimal("5.00"), 5),
+        (1.0, 1),
+        (True, 1),
+        (dt.datetime(2020, 1, 1, 12, tzinfo=dt.timezone.utc),
+         dt.datetime(2020, 1, 1, 4,
+                     tzinfo=dt.timezone(dt.timedelta(hours=-8)))),
+    ]
+    for a, b in pairs:
+        assert a == b, (a, b)
+        assert canonical_key_bytes(a) == canonical_key_bytes(b), (a, b)
+        assert engine.bloom_positions(a) == engine.bloom_positions(b), (a, b)
+    # unequal values still (overwhelmingly) hash apart
+    assert canonical_key_bytes(Decimal("1.5")) != canonical_key_bytes(
+        Decimal("1.51"))
+
+
+def test_build_bloom_long_outlier_bounded_memory():
+    """ADVICE r4: one long key among many short ones must not allocate an
+    n x max_len padded matrix; the scalar-cutoff + bucketed path stays
+    bit-exact with the scalar probes."""
+    vals = ["conv-%06d" % i for i in range(5000)] + ["z" * 200_000, ""]
+    got = engine._build_bloom(vals)
+    bits = bytearray(engine.BLOOM_BITS // 8)
+    for v in vals:
+        for p in engine.bloom_positions(v):
+            bits[p >> 3] |= 1 << (p & 7)
+    assert got == bytes(bits)
+
+
+def test_rg_bloom_key_hash_canonical_decimal():
+    """Row-group bloom probes share the canonical key bytes (false-prune
+    regression for Decimal/tz-aware keys)."""
+    from decimal import Decimal
+
+    from goorc_spark import arrow_stripe
+
+    assert (arrow_stripe._rg_bloom_key_hash(Decimal("2.50"))
+            == arrow_stripe._rg_bloom_key_hash(Decimal("2.5")))
+    assert (arrow_stripe._rg_bloom_key_hash(Decimal("3"))
+            == arrow_stripe._rg_bloom_key_hash(3))

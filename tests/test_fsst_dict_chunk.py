@@ -98,3 +98,27 @@ def test_chunk_none_kind():
 
 def test_chunk_empty():
     assert chunk.decompress(chunk.compress(b"")) == b""
+
+
+def test_murmur3_flat_bucketed_bit_exact():
+    """ADVICE r4: hash64_flat buckets by length above the matrix budget
+    (and falls back to the scalar loop for very long values); all paths
+    bit-exact with scalar hash64."""
+    import numpy as np
+
+    from goorc_spark.codecs import murmur3 as m
+
+    rng = np.random.default_rng(11)
+    vals = [rng.integers(0, 256, size=int(l)).astype(np.uint8).tobytes()
+            for l in list(rng.integers(0, 40, size=3000)) + [0, 7, 50_000]]
+    scalar = np.array([m.hash64(v) for v in vals], dtype=np.uint64)
+    assert (m.hash64_many(vals) == scalar).all()
+    lens = np.fromiter((len(b) for b in vals), np.int64)
+    flat = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    old_budget, old_cut = m._FLAT_BUDGET, m._FLAT_SCALAR_CUTOFF
+    try:
+        m._FLAT_BUDGET, m._FLAT_SCALAR_CUTOFF = 2048, 24
+        assert (m.hash64_flat(flat, starts, lens) == scalar).all()
+    finally:
+        m._FLAT_BUDGET, m._FLAT_SCALAR_CUTOFF = old_budget, old_cut

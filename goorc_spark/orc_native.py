@@ -276,39 +276,77 @@ def _tz_base_seconds(tz: str) -> int:
         return int(datetime(2015, 1, 1, tzinfo=ZoneInfo(tz)).timestamp())
     except Exception as e:  # unknown tz database name
         raise NotImplementedError(
-            f"ORC writer timezone {tz!r} not resolvable; per-value DST "
-            "conversion is out of scope — rewrite with a UTC writer") from e
+            f"ORC writer timezone {tz!r} not resolvable in the local "
+            "tzdata; cannot locate the timestamp base — rewrite with a "
+            "UTC writer") from e
 
 
-def _require_fixed_offset(tz: str, abs_sec: np.ndarray) -> None:
-    """This codec applies the writer-zone 2015-01-01 base as a CONSTANT.
-    That is exact only while the zone's UTC offset at every VALUE's
-    instant equals its 2015-01-01 offset; under DST (or a permanent zone
-    redefinition) real ORC writers apply per-value zone offsets, so a
-    constant base would silently mis-decode by the offset delta
-    (ADVICE r3). Check: the offset at both midnight boundaries of every
-    UTC day that holds a value must equal the base offset — exact because
-    no tzdb zone transitions twice within one day (shortest real DST
-    window is weeks), so equal-and-base boundaries pin every instant
-    between them. Fixed-offset zones (UTC, Etc/GMT±n, America/Phoenix)
-    and e.g. winter-only data from a DST zone pass; anything else is
-    refused with a pinned message, matching the unresolvable-zone path."""
+# DST-zone timestamp semantics (VERDICT r4 #3), pinned EMPIRICALLY against
+# Spark 4.1.2's JVM ORC writer/reader and pyarrow's C++ reader on a golden
+# file written under TZ=America/Los_Angeles with values straddling both 2021
+# DST transitions (tests/fixtures/spark_la_dst.orc):
+#
+#   * the JVM WRITER is constant-base: stored_seconds = instant - base_W
+#     where base_W = epoch of 2015-01-01 00:00:00 in the stamped writer
+#     zone — NO per-value offset, even across DST transitions. So the
+#     constant-base decode below recovers the writer's true instants
+#     exactly for ANY resolvable zone (the r3/r4 fixed-offset refusal was
+#     over-cautious and is gone).
+#   * a READER in zone R returns instant + off_W(instant) - off_R(instant)
+#     (java SerializationUtils wall-clock conversion; offsets evaluated at
+#     the TRUE instant, single application — verified on the fall-back
+#     ambiguity where double application would differ). A reader in the
+#     writer's own zone therefore returns the true instants, which is what
+#     read_orc returns by default; pass reader_timezone="UTC" (or any
+#     zone) to bit-replicate a cross-zone JVM/C++ read, fall-back
+#     collapse included.
+#
+# The reference returns per-location wall-clock values the same way
+# (orc/api/vector.go:132-167, GetTimestamp(loc)).
+
+_DT_MIN_S, _DT_MAX_S = -62_135_596_800, 253_402_300_799  # datetime range
+
+
+def _zone_offset_us(tz: str, abs_sec: np.ndarray) -> np.ndarray:
+    """Per-value UTC offset (MICROseconds — sub-minute LMT offsets like
+    1880s America/Los_Angeles -7:52:58 stay exact) of IANA zone `tz` at
+    each instant. Vectorized by unique UTC day: one lookup per day whose
+    start/end offsets agree (no tzdb zone transitions twice within one
+    day); transition days fall back to exact per-value lookups."""
     if tz in _UTC_NAMES or not len(abs_sec):
-        return
+        return np.zeros(len(abs_sec), dtype=np.int64)
     from zoneinfo import ZoneInfo
 
     z = ZoneInfo(tz)
-    base_off = datetime(2015, 1, 1, tzinfo=z).utcoffset()
-    days = np.unique(abs_sec // 86400)
-    bounds = np.unique(np.concatenate([days * 86400, (days + 1) * 86400]))
-    for t in bounds.tolist():
-        if datetime.fromtimestamp(t, tz=z).utcoffset() != base_off:
-            raise NotImplementedError(
-                f"ORC writer timezone {tz!r} changes UTC offset within the "
-                "file's timestamp range (DST or a zone redefinition); the "
-                "constant-base decode would be wrong by the offset delta. "
-                "Per-value zone conversion is out of scope — rewrite with "
-                "a UTC (or fixed-offset) writer")
+
+    def off(sec: int) -> int:
+        sec = min(max(sec, _DT_MIN_S), _DT_MAX_S)
+        delta = datetime.fromtimestamp(sec, tz=z).utcoffset()
+        return round(delta.total_seconds() * 1_000_000)
+
+    days, inv = np.unique(abs_sec // 86400, return_inverse=True)
+    starts = np.fromiter((off(int(d) * 86400) for d in days),
+                         np.int64, count=len(days))
+    ends = np.fromiter((off(int(d) * 86400 + 86399) for d in days),
+                       np.int64, count=len(days))
+    out = starts[inv]
+    for i in np.nonzero((starts != ends)[inv])[0]:
+        out[i] = off(int(abs_sec[i]))
+    return out
+
+
+def _reader_shift_us(writer_tz: str, reader_tz: str | None,
+                     abs_sec: np.ndarray) -> np.ndarray | None:
+    """off_W(t) - off_R(t) in microseconds, or None when no shift applies
+    (no reader zone requested, or both zones share rules)."""
+    if reader_tz is None or not len(abs_sec):
+        return None
+    w = "UTC" if writer_tz in _UTC_NAMES else writer_tz
+    r = "UTC" if reader_tz in _UTC_NAMES else reader_tz
+    if w == r:
+        return None
+    shift = _zone_offset_us(w, abs_sec) - _zone_offset_us(r, abs_sec)
+    return shift if shift.any() else None
 
 
 class _StripeCursor:
@@ -318,7 +356,8 @@ class _StripeCursor:
     windows from ROW_INDEX positions instead of whole streams."""
 
     def __init__(self, data: bytes, stripe: dict, sf: dict, comp: int,
-                 metrics: dict | None = None):
+                 metrics: dict | None = None,
+                 reader_tz: str | None = None):
         self.data = data
         self.comp = comp
         self.metrics = metrics
@@ -329,6 +368,7 @@ class _StripeCursor:
             off += s["length"]
         self.encodings = sf["encodings"]
         self.tz = sf.get("timezone", "")
+        self.reader_tz = reader_tz
 
     def has(self, col: int, kind: int) -> bool:
         return (col, kind) in self.loc
@@ -913,13 +953,18 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
         packed = _read_ints(cur, col, n_vals, SECONDARY, signed=False)
         nanos = unpack_nanos(packed.astype(np.uint64)).astype(np.int64)
         abs_sec = secs + tz_base
-        _require_fixed_offset(cur.tz, abs_sec)
         # Java writer truncates seconds toward zero for pre-base instants
         # (millis/1000 in Java rounds up when negative), storing the nanos
         # of the NEXT lower second — shift those rows down one second.
         fix = (abs_sec < 0) & (nanos > 0)
         abs_sec = abs_sec - fix.astype(np.int64)
         micros = abs_sec * 1_000_000 + nanos // 1000
+        # constant base = the true instants (JVM-writer parity for any
+        # zone, DST included); optional reader_timezone replicates the
+        # JVM/C++ cross-zone wall-clock read (see _reader_shift_us)
+        shift = _reader_shift_us(cur.tz, cur.reader_tz, abs_sec)
+        if shift is not None:
+            micros = micros + shift
         vals = pa.array(micros, type=pa.int64()).view(pa.timestamp("us"))
     elif kind == T_DECIMAL:
         from goorc_spark.arrow_stripe import _decimal_from_limbs
@@ -997,10 +1042,17 @@ def _include_ids(types: list[dict], columns: list[str] | None) -> set[int] | Non
     return keep
 
 
-def read_orc(data: bytes, columns: list[str] | None = None) -> pa.Table:
+def read_orc(data: bytes, columns: list[str] | None = None,
+             reader_timezone: str | None = None) -> pa.Table:
     """Decode a whole ORC file's bytes into an Arrow table using only this
     repo's codecs. Supports NONE/ZLIB compression, DIRECT_V2 +
-    DICTIONARY_V2 encodings, every ORC v1 type except UNION."""
+    DICTIONARY_V2 encodings, every ORC v1 type except UNION.
+
+    Timestamps decode to the writer's TRUE instants by default (bit-equal
+    to a JVM reader running in the writer's stamped zone). Pass
+    `reader_timezone` to bit-replicate a JVM/C++ reader running in that
+    zone instead (java's per-value wall-clock conversion — lossy at
+    fall-back transitions, exactly like the JVM)."""
     ps, footer = parse_tail(data)
     types = footer["types"]
     if types[0]["kind"] != T_STRUCT:
@@ -1014,7 +1066,8 @@ def read_orc(data: bytes, columns: list[str] | None = None) -> pa.Table:
             data[foot_off:foot_off + stripe["footer_length"]],
             ps["compression"]))
         tz_base = _tz_base_seconds(sf["timezone"])
-        cur = _StripeCursor(data, stripe, sf, ps["compression"])
+        cur = _StripeCursor(data, stripe, sf, ps["compression"],
+                            reader_tz=reader_timezone)
         root = _decode_column(cur, types, 0, stripe["n_rows"], tz_base,
                               include)
         batches.append(pa.RecordBatch.from_struct_array(root))
@@ -1507,7 +1560,8 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
         # inverse of the read-side pre-1970 rule: the Java convention
         # stores seconds truncated toward zero when nanos are nonzero
         fix = (abs_sec < 0) & (nanos > 0)
-        _require_fixed_offset(tz[1], abs_sec)
+        # constant base for ANY resolvable zone — exactly what the JVM
+        # writer stores (verified on the DST golden; no per-value offset)
         stored = abs_sec + fix.astype(np.int64) - tz[0]
         streams.append((col_id, DATA, rlev2.encode(stored, signed=True)))
         streams.append((col_id, SECONDARY,
@@ -1728,9 +1782,9 @@ def write_orc(table: pa.Table, compression: str = "zlib",
     low-cardinality strings, full nested/null support. One call = one
     file; at scale each Spark task writes its partition's file (see
     write_orc_files). `writer_timezone` stamps the stripe footers and
-    shifts the timestamp base the way real ORC writers do; zones whose
-    UTC offset is not fixed over the data's range are refused on BOTH
-    sides (see _require_fixed_offset) rather than silently shifted.
+    shifts the timestamp base exactly the way the JVM writer does — a
+    CONSTANT 2015-01-01-in-zone base with no per-value offset, DST zones
+    included (pinned against the Spark-written DST golden).
 
     `bloom_columns` emits a BLOOM_FILTER_UTF8 stream per named column
     (stride-sized filters at `bloom_fpp`, writer-exact hash conventions —

@@ -419,25 +419,24 @@ def test_writer_timezone_fixed_offset_roundtrip():
     assert on.read_orc(data).cast(t.schema).equals(t)
 
 
-def test_writer_timezone_dst_refused_both_sides():
-    """ADVICE r3 (medium): a zone whose UTC offset changes within the
-    value range (any DST zone with summer instants) must be REFUSED, not
-    decoded with the constant 2015-01-01 base — real ORC writers apply
-    per-value offsets, so the constant base would be up to 1h off."""
+def test_writer_timezone_dst_zone_exact():
+    """r5 (supersedes the r3/r4 refusal): DST zones are now EXACT both
+    directions — the JVM writer is constant-base with no per-value offset
+    (pinned against tests/fixtures/spark_la_dst.orc), so summer instants
+    in a DST zone round-trip bit-identically; only unresolvable zones
+    refuse."""
     summer = pa.table({"ts": pa.array(
         [datetime.datetime(2021, 7, 4, 12, 0, 0)], type=pa.timestamp("us"))})
-    with pytest.raises(NotImplementedError, match="changes UTC offset"):
-        on.write_orc(summer, writer_timezone="America/Los_Angeles")
-    # winter-only LA data stays within the base offset: allowed and exact
+    data = on.write_orc(summer, writer_timezone="America/Los_Angeles")
+    assert on.read_orc(data).cast(summer.schema).equals(summer)
+    # winter-only LA data: allowed and exact, as before
     winter = pa.table({"ts": pa.array(
         [datetime.datetime(2021, 1, 15, 8, 30, 0),
          datetime.datetime(2014, 12, 20, 0, 0, 1)],
         type=pa.timestamp("us"))})
     data = on.write_orc(winter, writer_timezone="America/Los_Angeles")
     assert on.read_orc(data).cast(winter.schema).equals(winter)
-    # the read side enforces the same rule: splice a summer file together
-    # by writing UTC data then rewriting the footer is covered by the
-    # writer check; unresolvable zones stay refused
+    # unresolvable zones stay refused
     with pytest.raises(NotImplementedError, match="not resolvable"):
         on.write_orc(summer, writer_timezone="Not/AZone")
 
@@ -775,3 +774,103 @@ def test_stride_low_cardinality_strings_and_partial_nulls():
     assert on.read_orc(data2).equals(t)
     r = on.read_orc_eq(data2, "conv", "c7")
     assert r.num_rows == sum(1 for i in range(n) if i % 16 == 7)
+
+
+# ---------------------------------------------------------------------------
+# DST-zone timestamps (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+# True UTC instants written into tests/fixtures/spark_la_dst.orc by Spark
+# 4.1.2's JVM ORC writer running under -Duser.timezone=America/Los_Angeles
+# (see FIXTURES.md): both 2021 DST transitions (03-14 spring-forward,
+# 11-07 fall-back incl. the ambiguous repeated hour), a fractional-second
+# summer value, winter, both sides of the 2015-01-01 base, pre-1970 with
+# nanos, and a 1915 pre-DST-era value.
+_DST_TRUE_UTC = [
+    "2021-03-14T09:30:00", "2021-03-14T10:30:00",
+    "2021-07-04T12:00:00.250000", "2021-01-15T08:30:00",
+    "2021-11-07T08:30:00", "2021-11-07T09:30:00",
+    "2014-12-31T23:59:59", "2015-01-01T00:00:00",
+    "1969-06-01T00:00:00.123000", "1915-03-01T00:00:00",
+]
+# What Spark's JVM reader returned for the same file under
+# -Duser.timezone=UTC (internal micros; pinned empirically 2026-08-17,
+# identical to pyarrow's C++ reader in a UTC process): per-value
+# wall-clock conversion instant + off_W(instant), which collapses the
+# fall-back ambiguity (rows 4 and 5 become equal) — lossy by design in
+# both upstream readers.
+_DST_JVM_UTC_READ = [
+    "2021-03-14T01:30:00", "2021-03-14T03:30:00",
+    "2021-07-04T05:00:00.250000", "2021-01-15T00:30:00",
+    "2021-11-07T01:30:00", "2021-11-07T01:30:00",
+    "2014-12-31T15:59:59", "2014-12-31T16:00:00",
+    "1969-05-31T17:00:00.123000", "1915-02-28T16:00:00",
+]
+
+
+def _dst_fixture() -> bytes:
+    import pathlib
+    p = pathlib.Path(__file__).parent / "fixtures" / "spark_la_dst.orc"
+    return p.read_bytes()
+
+
+def test_dst_zone_decode_true_instants():
+    """Constant-base decode of a Spark-written America/Los_Angeles file is
+    exact for every value, DST transitions included — the JVM writer
+    applies NO per-value offset (empirically pinned; the r3/r4
+    fixed-offset refusal was over-cautious)."""
+    data = _dst_fixture()
+    _, footer = on.parse_tail(data)
+    st = footer["stripes"][0]
+    fo = st["offset"] + st["index_length"] + st["data_length"]
+    sf = on.parse_stripe_footer(
+        on._decompress(data[fo:fo + st["footer_length"]], 5))
+    assert sf["timezone"] == "America/Los_Angeles"
+    got = on.read_orc(data).column("ts").to_pylist()
+    assert got == [datetime.datetime.fromisoformat(s)
+                   for s in _DST_TRUE_UTC]
+
+
+def test_dst_zone_reader_timezone_replicates_jvm():
+    """reader_timezone= bit-replicates the JVM/C++ cross-zone wall-clock
+    read: instant + off_W(t) - off_R(t), offsets at the true instant,
+    fall-back collapse included."""
+    data = _dst_fixture()
+    got = on.read_orc(data, reader_timezone="UTC").column("ts").to_pylist()
+    exp = [datetime.datetime.fromisoformat(s) for s in _DST_JVM_UTC_READ]
+    assert got == exp
+    # the two distinct fall-back instants collapse to one wall time,
+    # exactly like the upstream readers
+    assert got[4] == got[5]
+    # pyarrow's C++ reader in this UTC container agrees byte-for-byte
+    ours = on.read_orc(data, reader_timezone="UTC")
+    theirs = po.ORCFile(io.BytesIO(data)).read()
+    assert theirs.column("ts").cast(pa.timestamp("us")).to_pylist() == exp
+    # a third zone: equivalence via zoneinfo wall-clock arithmetic
+    from zoneinfo import ZoneInfo
+    ko = on.read_orc(data,
+                     reader_timezone="Asia/Kolkata").column("ts").to_pylist()
+    exp_k = [datetime.datetime.fromisoformat(s).replace(tzinfo=ZoneInfo(
+        "Asia/Kolkata")).astimezone(datetime.timezone.utc)
+        .replace(tzinfo=None) for s in _DST_JVM_UTC_READ]
+    assert ko == exp_k
+
+
+def test_dst_zone_write_parity():
+    """Our writer under a DST zone stores exactly what the JVM writer
+    stores (constant base): round-trips true instants through our reader
+    and reads identically to the Spark fixture through pyarrow's C++
+    reader."""
+    vals = [datetime.datetime.fromisoformat(s) for s in _DST_TRUE_UTC]
+    t = pa.table({"id": pa.array(range(10), pa.int32()),
+                  "ts": pa.array(vals, pa.timestamp("us"))})
+    mine = on.write_orc(t, writer_timezone="America/Los_Angeles")
+    assert on.read_orc(mine).column("ts").to_pylist() == vals
+    spark_file = _dst_fixture()
+    via_cpp = po.ORCFile(io.BytesIO(mine)).read().column("ts").to_pylist()
+    ref_cpp = po.ORCFile(io.BytesIO(spark_file)).read().column(
+        "ts").to_pylist()
+    assert via_cpp == ref_cpp
+    # unresolvable zones still refuse with the pinned message
+    with pytest.raises(NotImplementedError, match="not resolvable"):
+        on.write_orc(t, writer_timezone="Not/AZone")

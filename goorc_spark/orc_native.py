@@ -147,12 +147,46 @@ def _zstd_size(b) -> int:
     return int.from_bytes(b[off:off + n], "little")
 
 
+def _lz4_chunk(b: bytes) -> bytes:
+    """LZ4 *block* format carries no in-band uncompressed size, but
+    LZ4_decompress_safe (pyarrow's lz4_raw) succeeds iff the destination
+    capacity >= the true length and never writes past it, so the minimal
+    succeeding capacity IS the true length — recover it with doubling +
+    binary search (~20 C-speed probes per chunk, each bounded by the
+    chunk's real output). One clean re-decode at the found size avoids
+    returning wild-copy slack from an oversized probe buffer."""
+    codec = pa.Codec("lz4_raw")
+
+    def ok(cap: int) -> bool:
+        try:
+            codec.decompress(b, cap)
+            return True
+        except Exception:
+            return False
+
+    if ok(0):
+        return b""
+    lo, hi = 0, max(4 * len(b), 1 << 16)
+    while not ok(hi):
+        lo = hi
+        hi *= 2
+        if hi > 1 << 31:
+            raise ValueError("lz4 chunk decompresses past 2 GiB — corrupt")
+    while lo + 1 < hi:
+        mid = (lo + hi) // 2
+        if ok(mid):
+            hi = mid
+        else:
+            lo = mid
+    return bytes(codec.decompress(b, hi))
+
+
 def _decompress(raw, kind: int, limit: int | None = None) -> bytes:
     """An ORC compressed stream: 3-byte little-endian chunk headers,
     value = (chunkLen << 1) | isOriginal; zlib chunks are raw deflate,
     snappy/zstd chunks carry their uncompressed size in-band (snappy
     leading varint; zstd frame-content-size), which is what pyarrow's
-    codecs need. LZ4 block format has no in-band size — unsupported.
+    codecs need; lz4 block chunks recover their size via _lz4_chunk.
     `limit` stops after enough chunks are decompressed to yield that many
     bytes (row-index seek windows)."""
     if kind == COMP_NONE:
@@ -181,10 +215,12 @@ def _decompress(raw, kind: int, limit: int | None = None) -> bytes:
                     "writer that records FCS, or use ZLIB/NONE")
             codec = pa.Codec("snappy" if kind == COMP_SNAPPY else "zstd")
             out += codec.decompress(b, size)
-        elif kind == COMP_LZO or kind == COMP_LZ4:
+        elif kind == COMP_LZ4:
+            out += _lz4_chunk(bytes(chunk_bytes))
+        elif kind == COMP_LZO:
             raise NotImplementedError(
-                "LZO/LZ4 ORC chunks are not natively decoded (no in-band "
-                "uncompressed size); write ORC with zlib/snappy/zstd/none")
+                "LZO ORC chunks are not natively decoded (no LZO codec in "
+                "the environment); write ORC with zlib/snappy/zstd/lz4/none")
         else:
             raise ValueError(f"unknown compression kind {kind}")
     return bytes(out)

@@ -138,16 +138,21 @@ def test_snappy_zstd_native_read():
         assert on.read_orc(buf.getvalue()).cast(t.schema).equals(t), comp
 
 
-def test_lz4_rejected_clearly():
-    # this pyarrow build stores lz4 ORC chunks as "original" (which
-    # legitimately decode), so pin the rejection at the chunk layer with a
-    # hand-built compressed chunk
-    comp = bytes(pa.Codec("lz4").compress(b"abc" * 1000))
+def test_lz4_block_chunks_decode():
+    """r5 (supersedes the r4 rejection): real lz4 BLOCK chunks decode via
+    _lz4_chunk; lz4 FRAME bytes in a chunk (format-illegal for ORC) fail
+    loudly instead of mis-decoding."""
+    comp = bytes(pa.Codec("lz4_raw").compress(b"abc" * 1000))
     h = len(comp) << 1  # original bit clear -> a real compressed chunk
     stream = bytes((h & 255, (h >> 8) & 255, (h >> 16) & 255)) + comp
-    with pytest.raises(NotImplementedError, match="LZO/LZ4"):
-        on._decompress(stream, on.COMP_LZ4)
-    # files whose lz4 chunks are all "original" decode fine
+    assert on._decompress(stream, on.COMP_LZ4) == b"abc" * 1000
+    framed = bytes(pa.Codec("lz4").compress(b"abc" * 1000))
+    h = len(framed) << 1
+    bad = bytes((h & 255, (h >> 8) & 255, (h >> 16) & 255)) + framed
+    with pytest.raises(ValueError, match="corrupt"):
+        on._decompress(bad, on.COMP_LZ4)
+    # files whose lz4 chunks are all "original" decode fine (this
+    # pyarrow build stores lz4 ORC chunks as "original")
     t = pa.table({"s": pa.array([f"common-prefix-padding-{i}"
                                  for i in range(10_000)])})
     buf = io.BytesIO()
@@ -874,3 +879,29 @@ def test_dst_zone_write_parity():
     # unresolvable zones still refuse with the pinned message
     with pytest.raises(NotImplementedError, match="not resolvable"):
         on.write_orc(t, writer_timezone="Not/AZone")
+
+
+def test_lz4_orc_chunks():
+    """VERDICT r4 #5: LZ4 block chunks (no in-band size) decode natively —
+    the exact length is recovered as the minimal LZ4_decompress_safe
+    capacity that succeeds (see _lz4_chunk). Golden: a Spark-JVM file
+    written with orc.compress=LZ4 (tests/fixtures/spark_lz4.orc, 7 real
+    lz4 chunks + 6 stored-original), bit-equal to pyarrow's C++ reader."""
+    import pathlib
+    data = (pathlib.Path(__file__).parent / "fixtures"
+            / "spark_lz4.orc").read_bytes()
+    ps, footer = on.parse_tail(data)
+    assert ps["compression"] == on.COMP_LZ4
+    t = on.read_orc(data)
+    ref = po.ORCFile(io.BytesIO(data)).read()
+    assert t.equals(ref.cast(t.schema))
+    assert footer["n_rows"] == 5000 == t.num_rows
+    # unit: exact-length recovery, empty input, and corrupt data
+    c = pa.Codec("lz4_raw")
+    payload = b"the quick brown fox " * 500
+    assert on._lz4_chunk(bytes(c.compress(payload))) == payload
+    with pytest.raises(Exception):
+        on._lz4_chunk(b"\xff\xff\xff\xff garbage that is not lz4")
+    # LZO stays refused with the narrowed message
+    with pytest.raises(NotImplementedError, match="LZO"):
+        on._decompress(b"\x08\x00\x00abcd", on.COMP_LZO)

@@ -1484,24 +1484,33 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
                           tz: tuple[int, str] = (EPOCH_2015_S, "UTC"),
                           stats: dict | None = None,
                           force_present: frozenset = frozenset(),
-                          allow_dict: bool = True) -> None:
+                          allow_dict: bool = True,
+                          raw_bool: bool = False) -> None:
     """Append (col_id, kind, raw_bytes) entries for one column (recursing
     into nested children); record the column's encoding and, when `stats`
     is given, the column's typed statistics. `force_present` lists columns
     that must emit a PRESENT stream even with zero nulls (row-group
     segments of a stripe where OTHER groups have nulls — the stream set
     must be identical across segments); `allow_dict=False` pins strings to
-    DIRECT_V2 (per-group dictionaries would diverge between segments)."""
+    DIRECT_V2 (per-group dictionaries would diverge between segments);
+    `raw_bool=True` emits bit-granular streams (PRESENT, boolean DATA) as
+    numpy bool arrays instead of encoded bytes so the stride writer can
+    pack the whole stripe's bits continuously and record real bit skips
+    (per-segment boolean RLE restarts would only concatenate into a valid
+    stream at byte-aligned boundaries, which nested children never
+    guarantee)."""
     kind = node["kind"]
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     n = len(arr)
     mask = None
     if arr.null_count:
         mask = np.asarray(arr.is_valid())
-        streams.append((col_id, PRESENT, boolrle.encode(mask)))
-    elif col_id in force_present:
         streams.append((col_id, PRESENT,
-                        boolrle.encode(np.ones(n, dtype=bool))))
+                        mask if raw_bool else boolrle.encode(mask)))
+    elif col_id in force_present:
+        ones = np.ones(n, dtype=bool)
+        streams.append((col_id, PRESENT,
+                        ones if raw_bool else boolrle.encode(ones)))
     vals = arr.drop_null() if arr.null_count else arr
     if stats is not None:
         stats[col_id] = _node_stats(arr, vals, kind, node)
@@ -1517,7 +1526,7 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
             # columns; regression: test_stride_low_cardinality_strings
             _write_column_streams(child, sub, types[sub], streams,
                                   encodings, types, tz, stats,
-                                  force_present, allow_dict)
+                                  force_present, allow_dict, raw_bool)
         return
     if kind in (T_LIST, T_MAP):
         offs = np.asarray(vals.offsets, dtype=np.int64) if len(vals) else \
@@ -1535,7 +1544,7 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
             _write_column_streams(child, node["subtypes"][0],
                                   types[node["subtypes"][0]], streams,
                                   encodings, types, tz, stats,
-                                  force_present, allow_dict)
+                                  force_present, allow_dict, raw_bool)
         else:
             keys = vals.keys.slice(lo, hi - lo) if len(vals) else \
                 arr.keys.slice(0, 0)
@@ -1544,16 +1553,17 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
             _write_column_streams(keys, node["subtypes"][0],
                                   types[node["subtypes"][0]], streams,
                                   encodings, types, tz, stats,
-                                  force_present, allow_dict)
+                                  force_present, allow_dict, raw_bool)
             _write_column_streams(items, node["subtypes"][1],
                                   types[node["subtypes"][1]], streams,
                                   encodings, types, tz, stats,
-                                  force_present, allow_dict)
+                                  force_present, allow_dict, raw_bool)
         return
     if kind == T_BOOLEAN:
         bits = np.asarray(vals.cast(pa.int8()), dtype=np.int8).astype(bool) \
             if len(vals) else np.zeros(0, bool)
-        streams.append((col_id, DATA, boolrle.encode(bits)))
+        streams.append((col_id, DATA,
+                        bits if raw_bool else boolrle.encode(bits)))
     elif kind == T_BYTE:
         b = np.asarray(vals, dtype=np.int8).view(np.uint8) if len(vals) \
             else np.zeros(0, np.uint8)
@@ -1701,6 +1711,43 @@ def _group_bloom_hashes(arr, kind: int) -> np.ndarray:
         arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
 
 
+def _nullable_cols(arr, col_id: int, node: dict, types: list,
+                   out: set) -> None:
+    """Mark every column id whose stream set would include PRESENT
+    anywhere in this stripe, mirroring _write_column_streams' traversal
+    exactly (struct children come from the parent-present window, list/map
+    children from the logical offsets window) so per-group segments can
+    force identical stream sets."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if arr.null_count:
+        out.add(col_id)
+    vals = arr.drop_null() if arr.null_count else arr
+    kind = node["kind"]
+    if kind == T_STRUCT:
+        for i, sub in enumerate(node["subtypes"]):
+            child = vals.field(i) if len(arr) else arr.field(i)
+            _nullable_cols(child, sub, types[sub], types, out)
+    elif kind in (T_LIST, T_MAP):
+        offs = np.asarray(vals.offsets, dtype=np.int64) if len(vals) else \
+            np.zeros(1, np.int64)
+        lo = int(offs[0]) if len(offs) else 0
+        hi = int(offs[-1]) if len(offs) else 0
+        if kind == T_LIST:
+            child = vals.values.slice(lo, hi - lo) if len(vals) else \
+                arr.values.slice(0, 0)
+            _nullable_cols(child, node["subtypes"][0],
+                           types[node["subtypes"][0]], types, out)
+        else:
+            keys = vals.keys.slice(lo, hi - lo) if len(vals) else \
+                arr.keys.slice(0, 0)
+            items = vals.items.slice(lo, hi - lo) if len(vals) else \
+                arr.items.slice(0, 0)
+            _nullable_cols(keys, node["subtypes"][0],
+                           types[node["subtypes"][0]], types, out)
+            _nullable_cols(items, node["subtypes"][1],
+                           types[node["subtypes"][1]], types, out)
+
+
 def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
                    tzctx: tuple, stride: int,
                    bloom_ids: dict | None = None,
@@ -1712,21 +1759,28 @@ def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
     degenerate case of the general positions the JVM writer records;
     reference index write path orc/stripe.go:84-120). Returns
     (index_streams, data_streams, encodings, stripe_stats), each stream
-    already compression-packed. Flat schemas only; strings pin to
-    DIRECT_V2 (per-group dictionaries would diverge); PRESENT is forced on
-    every segment of a column that has nulls anywhere in the stripe (the
-    segment stream sets must be identical to concatenate)."""
-    if any(t["kind"] in (T_STRUCT, T_LIST, T_MAP) for t in types[1:]):
-        raise NotImplementedError(
-            "row_index_stride supports flat schemas only in this writer "
-            "(per-group child alignment for nested types not implemented);"
-            " use row_index_stride=0 for nested schemas")
-    if stride % 8:
-        raise ValueError("row_index_stride must be a multiple of 8 "
-                         "(PRESENT/boolean bit runs restart per group)")
-    root0 = types[0]
-    force = frozenset(cid for i, cid in enumerate(root0["subtypes"])
-                      if sub.column(i).null_count > 0)
+    already compression-packed. Nested schemas (struct/list/map, any
+    depth) segment through children exactly as _write_column_streams
+    recurses; strings pin to DIRECT_V2 (per-group dictionaries would
+    diverge); PRESENT is forced on every segment of a column that has
+    nulls ANYWHERE in the stripe — nested children included — so segment
+    stream sets are identical and concatenate. Bit-granular streams
+    (PRESENT, boolean DATA) are packed continuously across the whole
+    stripe with byte-RLE runs and compression chunks cut at each group's
+    byte floor, recording real (run=0, bit) skips — nested children's
+    per-group bit counts are data-dependent, so per-segment restarts
+    would corrupt sequential (JVM) decode at non-byte-aligned
+    boundaries. All other codecs (RLEv2, byte-RLE, raw, varint)
+    self-delimit, so per-segment restart == run cut and concatenation is
+    spec-valid."""
+    if stride <= 0:
+        raise ValueError("row_index_stride must be positive")
+    whole_root = pa.StructArray.from_arrays(
+        [sub.column(i).combine_chunks() for i in range(sub.num_columns)],
+        names=list(sub.schema.names))
+    nullable: set[int] = set()
+    _nullable_cols(whole_root, 0, types[0], types, nullable)
+    force = frozenset(nullable)
     encodings: dict = {}
     seg_streams: list[list] = []
     seg_stats: list[dict] = []
@@ -1743,7 +1797,8 @@ def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
         s: list = []
         st: dict = {}
         _write_column_streams(struct_arr, 0, types[0], s, encodings,
-                              types, tzctx, st, force, allow_dict=False)
+                              types, tzctx, st, force, allow_dict=False,
+                              raw_bool=True)
         seg_streams.append(s)
         seg_stats.append(st)
         if bloom_ids:
@@ -1761,13 +1816,32 @@ def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
         if n == 0:
             break
     keys = [(c, k) for c, k, _ in seg_streams[0]]
-    # compress each segment separately and record its stream-local offset
+    for gi, s in enumerate(seg_streams[1:], 1):
+        if [(c, k) for c, k, _ in s] != keys:
+            raise AssertionError(
+                f"stride segment {gi} emitted a different stream set than "
+                "segment 0 — force_present/allow_dict threading bug")
+    # compress each segment separately and record its stream-local offset;
+    # bit streams (numpy payloads) are packed continuously with cuts at
+    # each group's byte floor and a recorded residual bit skip
     packed: dict = {}
     offsets: dict = {}
+    extras: dict = {}  # key -> per-group (run_skip, bit_skip) for bools
     for key in keys:
+        parts = [next(b for c, k, b in s if (c, k) == key)
+                 for s in seg_streams]
+        if isinstance(parts[0], np.ndarray):
+            starts = np.zeros(len(parts), dtype=np.int64)
+            np.cumsum(np.array([p.size for p in parts[:-1]],
+                               dtype=np.int64), out=starts[1:])
+            allbits = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            pk_bytes = np.packbits(allbits, bitorder="big")
+            cuts = [int(b) for b in starts // 8] + [pk_bytes.size]
+            parts = [byterle.encode(pk_bytes[cuts[g]:cuts[g + 1]])
+                     for g in range(len(parts))]
+            extras[key] = [(0, int(b % 8)) for b in starts]
         segs, offs, pos = [], [], 0
-        for s in seg_streams:
-            raw = next(b for c, k, b in s if (c, k) == key)
+        for raw in parts:
             pk = _compress_stream(raw, comp, block)
             offs.append(pos)
             pos += len(pk)
@@ -1788,7 +1862,9 @@ def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,
                 posv.append(offsets[(cid, skind)][gi])
                 if comp != COMP_NONE:
                     posv.append(0)  # offset within the decompressed chunk
-                posv.extend([0] * _POS_EXTRAS[tag])
+                ext = extras.get((cid, skind))
+                posv.extend(ext[gi] if ext is not None
+                            else (0,) * _POS_EXTRAS[tag])
             entry = _pb_bytes(1, b"".join(_uvarint_bytes(p) for p in posv))
             entry += _pb_bytes(2, _encode_col_stats(
                 types[cid]["kind"], seg_stats[gi].get(cid, {"n": 0})))

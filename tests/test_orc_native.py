@@ -673,13 +673,76 @@ def test_native_writer_row_index(spark, tmp_path, comp):
     jvm = spark.read.orc(str(d))
     assert jvm.count() == n
     assert jvm.filter("x = 14321").collect()[0].s == "val014321"
-    # guards: nested refused, stride must be a multiple of 8
-    with pytest.raises(NotImplementedError, match="flat schemas"):
-        on.write_orc(pa.table({"l": pa.array([[1]],
-                                             type=pa.list_(pa.int64()))}),
-                     row_index_stride=1000)
-    with pytest.raises(ValueError, match="multiple of 8"):
-        on.write_orc(t, row_index_stride=1001)
+    with pytest.raises(ValueError, match="positive"):
+        on.write_orc(t, row_index_stride=-8)
+
+
+def _nested_table(n: int) -> pa.Table:
+    rng = np.random.default_rng(7)
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "flag": pa.array([None if i % 7 == 0 else bool(i % 3)
+                          for i in range(n)]),
+        "s": pa.array([{"a": int(i), "b": f"v{i % 50}"} if i % 5 else None
+                       for i in range(n)],
+                      type=pa.struct([("a", pa.int64()),
+                                      ("b", pa.string())])),
+        "arr": pa.array([[int(x) for x in rng.integers(0, 100, i % 4)]
+                         if i % 6 else None for i in range(n)],
+                        type=pa.list_(pa.int64())),
+        "m": pa.array([[(f"k{j}", float(j)) for j in range(i % 3)]
+                       if i % 4 else None for i in range(n)],
+                      type=pa.map_(pa.string(), pa.float64())),
+    })
+
+
+def test_native_writer_row_index_nested(spark, tmp_path):
+    """ROW_INDEX write for nested schemas (VERDICT r4 #6): struct/list/map
+    children segment through _write_column_streams' recursion; bit streams
+    (PRESENT, bool DATA) pack continuously with byte-floor cuts and real
+    bit skips in the positions, so non-byte-aligned group boundaries —
+    which nested children always produce — stay valid for BOTH sequential
+    (JVM) decode and the seek path. Stride need not be a multiple of 8
+    anymore. Reference indexes nested columns too (orc/column/struct.go)."""
+    n = 40_000
+    t = _nested_table(n)
+    for stride in (1000, 728):  # 728 % 8 != 0: bit-skip positions in play
+        data = on.write_orc(t, compression="zlib", stripe_rows=20_000,
+                            row_index_stride=stride)
+        got = on.read_orc(data)
+        assert got.equals(t.cast(got.schema))
+        m, mf = {}, {}
+        on.read_orc_rows(data, 0, n, metrics=mf)
+        part = on.read_orc_rows(data, 28_321, 28_330, metrics=m)
+        assert part.equals(t.slice(28_321, 9).cast(part.schema))
+        # point read touches a small fraction of the full decode bytes
+        assert m["decompressed_bytes"] < 0.10 * mf["decompressed_bytes"]
+    d = tmp_path / "nwidx_nested"
+    d.mkdir()
+    (d / "part-0.orc").write_bytes(data)
+    jvm = spark.read.orc(str(d))
+    assert jvm.count() == n
+    row = jvm.filter("id = 28321").collect()[0]
+    assert row.s.a == 28321 and row.s.b == f"v{28321 % 50}"
+    assert row.asDict()["arr"] == t.column("arr")[28321].as_py()
+
+
+def test_stride_nullable_boolean_regression():
+    """A nullable boolean column under row_index_stride: per-segment bool
+    RLE restarts only concatenate validly at byte-aligned boundaries, and
+    a DATA stream's per-group bit count is the group's NON-NULL count —
+    never aligned. The old per-segment writer silently corrupted every
+    group after the first (1270/4000 wrong values in this exact table);
+    the continuous-bit writer must round-trip it and seek into it."""
+    t = pa.table({"ok": pa.array([None if i % 11 == 0 else bool(i % 2)
+                                  for i in range(4000)])})
+    data = on.write_orc(t, compression="zlib", stripe_rows=2000,
+                        row_index_stride=1000)
+    got = on.read_orc(data)
+    assert got.equals(t.cast(got.schema))
+    part = on.read_orc_rows(data, 3101, 3111)
+    assert part.equals(t.slice(3101, 10).cast(part.schema))
+    assert po.read_table(io.BytesIO(data)).cast(t.schema).equals(t)
 
 
 def test_rlev1_spec_vectors():

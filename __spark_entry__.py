@@ -536,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _embs(s, d), query_vec_id=0, k=10, anchor_ids=(1, 2, 3, 4)),
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _embs(s, d), query_vec_id=0, k=10, nprobe=2),
+        "ann_ivf_trained": lambda s, d: similarity.ivf_topk_trained(
+            _embs(s, d), query_vec_id=0, k=10, nprobe=2, iters=2),
         "ann_pairwise_topk_lsh": lambda s, d: similarity.pairwise_topk_per_label_lsh(
             _embs(s, d), k=3),
         # benchmark = every 17th doc (deterministic eval-set stand-in);
@@ -609,6 +611,41 @@ def _dot(a: str, b: str) -> str:
 
 def _norm(a: str) -> str:
     return f"sqrt({_dot(a, a)})"
+
+
+def _lloyd_iter_sql(prev: str, tag: str) -> str:
+    """One Lloyd iteration as DuckDB CTEs (assign -> exact-decimal mean ->
+    rebuilt centroid list), mirroring similarity.ivf_train_centroids'
+    engine-exact construction: components quantize to round(x,6), sum as
+    DECIMAL(20,6) (order-independent), mean re-rounds to 6; empty cells
+    keep the previous centroid."""
+    a, u, n, nxt = f"a{tag}", f"u{tag}", f"n{tag}", f"c{tag}"
+    return f"""
+{a} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round({_dot("e.embedding", "e.embedding")}
+                   - 2 * {_dot("e.embedding", "c.cvec")}
+                   + {_dot("c.cvec", "c.cvec")}, 6), c.cid) AS rk
+    FROM embeddings e CROSS JOIN {prev} c) WHERE rk = 1
+),
+{u} AS (
+  SELECT a.cell, d.pos,
+         sum(CAST(round(CAST(e.embedding[d.pos] AS DOUBLE), 6)
+                  AS DECIMAL(20,6))) AS sd,
+         count(*) AS cnt
+  FROM {a} a JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+  GROUP BY a.cell, d.pos
+),
+{n} AS (
+  SELECT cell, list(round(CAST(sd AS DOUBLE) / cnt, 6) ORDER BY pos) AS nvec
+  FROM {u} GROUP BY cell
+),
+{nxt} AS (
+  SELECT c.cid, COALESCE(n.nvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN {n} n ON c.cid = n.cell
+)"""
 
 
 def _shingles_sql(col: str, n: int) -> str:
@@ -1021,6 +1058,41 @@ probe AS (
 cand AS (
   SELECT e.vec_id, a.cell, e.embedding FROM embeddings e
   JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cell
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, cell,
+       round({_dot("cand.embedding", "q.qe")}
+             / ({_norm("cand.embedding")} * {_norm("q.qe")}), 6) AS cosine
+FROM cand CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "ann_ivf_trained": f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS pos),
+c0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5, 6, 7, 8)
+),{_lloyd_iter_sql("c0", "1")},{_lloyd_iter_sql("c1", "2")},
+af AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round({_dot("e.embedding", "e.embedding")}
+                   - 2 * {_dot("e.embedding", "c.cvec")}
+                   + {_dot("c.cvec", "c.cvec")}, 6), c.cid) AS rk
+    FROM embeddings e CROSS JOIN c2 c) WHERE rk = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid AS cell FROM c2 c CROSS JOIN q
+  ORDER BY round({_dot("qe", "qe")} - 2 * {_dot("qe", "c.cvec")}
+                 + {_dot("c.cvec", "c.cvec")}, 6), c.cid
+  LIMIT 2
+),
+cand AS (
+  SELECT e.vec_id, a.cell, e.embedding FROM embeddings e
+  JOIN af a ON e.vec_id = a.vec_id
   JOIN probe p ON a.cell = p.cell
   WHERE e.vec_id <> 0
 )

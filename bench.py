@@ -698,12 +698,27 @@ def main() -> None:
             "text_lang_id": lambda: text.lang_id(docs).count(),
             "ann_cosine_topk": lambda: similarity.cosine_topk(embs).count(),
             "ann_lsh_topk": lambda: similarity.lsh_ann_topk(embs).count(),
+            "ann_ivf_trained": lambda:
+                similarity.ivf_topk_trained(embs).count(),
             "ann_pairwise_topk_lsh": lambda:
                 similarity.pairwise_topk_per_label_lsh(embs).count(),
         }
         for name, fn in pipeline.items():
             sec, _ = timed(fn)
             queries[name] = round(sec, 3)
+
+        # IVF recall vs the exact top-10 (VERDICT r4 #9): sampled-centroid
+        # IVF vs the 2-iteration Lloyd-trained variant, same nprobe
+        exact10 = {r["vec_id"]
+                   for r in similarity.cosine_topk(embs, k=10).collect()}
+        ivf_s = {r["vec_id"]
+                 for r in similarity.ivf_topk(embs, k=10).collect()}
+        ivf_t = {r["vec_id"]
+                 for r in similarity.ivf_topk_trained(embs, k=10).collect()}
+        extras["ivf_recall_at_10"] = {
+            "sampled_centroids": round(len(ivf_s & exact10) / 10, 2),
+            "trained_centroids": round(len(ivf_t & exact10) / 10, 2),
+            "nprobe": 2, "cells": 8}
 
         # side-by-side dot implementations (VERDICT r3 #9): the embedding
         # legs re-run with the pandas/BLAS dot; outputs are pinned
@@ -718,7 +733,7 @@ def main() -> None:
                     "sql_sec": queries[name], "pandas_sec": round(sec, 3),
                     "speedup": round(queries[name] / sec, 2) if sec else None}
         finally:
-            similarity.set_dot_impl("sql")
+            similarity.set_dot_impl("auto")  # default: size-resolved
         extras["dot_impl"] = dot_legs
 
         # ---- dedup growth leg (VERDICT r2 #10): the bucketed dedup paths

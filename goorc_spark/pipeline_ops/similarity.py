@@ -17,17 +17,33 @@ k rows per bucket, not the corpus.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-_DOT_IMPL = "sql"
+_DOT_IMPL = "auto"
+_ACTIVE_IMPL: str | None = None  # set per-operator by _resolved()
 _dot_pandas_udf = None
+
+# auto crossover: below this Catalyst-estimated input size the sql fold's
+# zero per-batch overhead wins (and stays bit-identical to the DuckDB
+# oracle — every sf0.01/sf0.1 gate input resolves 'sql'); above it the
+# BLAS batch dot amortizes its UDF overhead (bench detail.dot_impl:
+# pandas 1.2-1.3x on the multi-MB legs, loses the sub-second ones).
+AUTO_PANDAS_BYTES = 64 << 20
 
 
 def set_dot_impl(mode: str) -> None:
-    """Select the dot-product implementation behind `_dot` (VERDICT r3 #9):
+    """Select the dot-product implementation behind `_dot` (VERDICT r3 #9,
+    r4 #7):
 
-    'sql'    — zip_with + aggregate fold (default): pure Catalyst algebra,
+    'auto'   — (default) per-operator choice from the input DataFrame's
+               Catalyst size estimate: 'sql' below AUTO_PANDAS_BYTES,
+               'pandas' above (the same sizeInBytes trick engine salt
+               detection uses). Unknown/sentinel estimates resolve 'sql'
+               (the conservative, oracle-identical side).
+    'sql'    — zip_with + aggregate fold: pure Catalyst algebra,
                sequential left-to-right double accumulation, bit-identical
                to the DuckDB oracle's list_reduce. Interpreted (higher-
                order functions don't codegen), so it dominates embedding-op
@@ -39,9 +55,50 @@ def set_dot_impl(mode: str) -> None:
                after round(,6) on real data, but not bit-guaranteed, which
                is why the ORACLE twin stays 'sql'."""
     global _DOT_IMPL
-    if mode not in ("sql", "pandas"):
-        raise ValueError(f"dot impl {mode!r}: use 'sql' or 'pandas'")
+    if mode not in ("auto", "sql", "pandas"):
+        raise ValueError(f"dot impl {mode!r}: use 'auto', 'sql' or 'pandas'")
     _DOT_IMPL = mode
+
+
+def _impl_for(df: DataFrame) -> str:
+    """Resolve the dot impl for one operator invocation over `df`."""
+    if _DOT_IMPL != "auto":
+        return _DOT_IMPL
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:
+        return "sql"
+    # Spark reports Long.MaxValue-ish sentinels when stats are unknown —
+    # flipping to the not-bit-guaranteed impl on a GUESS would risk the
+    # oracle gate, so only a plausible, genuinely-large estimate upgrades
+    if size >= (1 << 60):
+        return "sql"
+    return "pandas" if size >= AUTO_PANDAS_BYTES else "sql"
+
+
+@contextmanager
+def _resolved(df: DataFrame):
+    """Pin the dot impl for the duration of one operator's plan build."""
+    global _ACTIVE_IMPL
+    prev = _ACTIVE_IMPL
+    _ACTIVE_IMPL = _impl_for(df)
+    try:
+        yield
+    finally:
+        _ACTIVE_IMPL = prev
+
+
+def _auto_dot(fn):
+    """Operator decorator: resolve the dot impl once from the first
+    (DataFrame) argument's size estimate, for the whole plan build."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(embeddings, *a, **k):
+        with _resolved(embeddings):
+            return fn(embeddings, *a, **k)
+    return wrap
 
 
 def _get_dot_pandas():
@@ -68,7 +125,9 @@ def _get_dot_pandas():
 
 
 def _dot(x, y):
-    if _DOT_IMPL == "pandas":
+    impl = _ACTIVE_IMPL if _ACTIVE_IMPL is not None else \
+        ("sql" if _DOT_IMPL == "auto" else _DOT_IMPL)
+    if impl == "pandas":
         return _get_dot_pandas()(x, y)
     return F.aggregate(
         F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
@@ -79,6 +138,7 @@ def _norm(x):
     return F.sqrt(_dot(x, x))
 
 
+@_auto_dot
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Exact top-k by cosine to the embedding of `query_vec_id`
     (tie-broken by vec_id for determinism)."""
@@ -93,6 +153,7 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+@_auto_dot
 def hyperplane_buckets(embeddings: DataFrame, anchor_ids=(1, 2, 3, 4)) -> DataFrame:
     """LSH bucket id per vector: sign bits of dot products against anchor
     vectors drawn deterministically from the data (vec_id in anchor_ids)."""
@@ -112,6 +173,7 @@ def hyperplane_buckets(embeddings: DataFrame, anchor_ids=(1, 2, 3, 4)) -> DataFr
     return embeddings.join(bits, "vec_id")
 
 
+@_auto_dot
 def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
                  anchor_ids=(1, 2, 3, 4)) -> DataFrame:
     """Approximate top-k: only candidates sharing the query's hyperplane
@@ -131,6 +193,7 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+@_auto_dot
 def ivf_assign(embeddings: DataFrame, centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8)) -> DataFrame:
     """IVF coarse quantizer: every vector is assigned to its nearest
     centroid (centroids = deterministic vectors drawn from the data itself,
@@ -151,6 +214,7 @@ def ivf_assign(embeddings: DataFrame, centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8)) -> 
     return embeddings.join(assign, "vec_id")
 
 
+@_auto_dot
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
              centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8), nprobe: int = 2) -> DataFrame:
     """IVF-flat ANN: score only vectors whose cell is among the query's
@@ -180,6 +244,94 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def _assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by rounded squared distance,
+    tie-broken by centroid id — the shared quantizer step of ivf_assign
+    and the Lloyd trainer."""
+    joined = embeddings.crossJoin(F.broadcast(cents))
+    d2 = _dot(F.col("embedding"), F.col("embedding")) \
+        - 2 * _dot(F.col("embedding"), F.col("cvec")) \
+        + _dot(F.col("cvec"), F.col("cvec"))
+    scored = joined.select("vec_id", "cid", F.round(d2, 6).alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return scored.withColumn("rk", F.row_number().over(w)) \
+        .filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
+
+
+@_auto_dot
+def ivf_train_centroids(embeddings: DataFrame,
+                        centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8),
+                        iters: int = 2) -> DataFrame:
+    """Deterministic Lloyd refinement of the sampled IVF centroids
+    (VERDICT r4 #9): seeded at `centroid_ids`' own vectors, `iters`
+    assign-update rounds. Engine-exact by construction, so a DuckDB twin
+    computing the same seeded iterations matches bit-for-bit:
+
+    - components quantize to round(x, 6) then sum as DECIMAL(20,6) —
+      EXACT, order-independent addition, so Spark's partial aggregation
+      order can't perturb the mean the way double summation would;
+    - the new component is round(decimal_sum/count, 6); empty cells keep
+      their previous centroid;
+    - assignment orders by (round(d2, 6), cid).
+
+    At scale: one broadcast-join assign pass + posexplode/two partial
+    aggregations per iteration — no collect, no quadratic term; centroid
+    count stays driver-bounded (it's the broadcast side)."""
+    cents = embeddings.filter(F.col("vec_id").isin(list(centroid_ids))) \
+        .select(F.col("vec_id").alias("cid"),
+                F.transform(F.col("embedding"),
+                            lambda v: v.cast("double")).alias("cvec"))
+    for _ in range(iters):
+        assign = _assign_cells(embeddings, cents)
+        ex = embeddings.join(assign, "vec_id").select(
+            "cell", F.posexplode(F.col("embedding")).alias("pos", "val"))
+        comp = ex.groupBy("cell", "pos").agg(
+            F.sum(F.round(F.col("val").cast("double"), 6)
+                  .cast("decimal(20,6)")).alias("sd"),
+            F.count(F.lit(1)).alias("cnt"))
+        newc = comp.select(
+            "cell", "pos",
+            F.round(F.col("sd").cast("double") / F.col("cnt"), 6)
+             .alias("v")) \
+            .groupBy("cell").agg(
+                F.transform(F.sort_array(F.collect_list(
+                    F.struct("pos", "v"))), lambda s: s["v"]).alias("nvec"))
+        cents = cents.join(newc, cents.cid == newc.cell, "left").select(
+            "cid", F.coalesce(F.col("nvec"), F.col("cvec")).alias("cvec"))
+    return cents
+
+
+def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
+                     k: int = 10, centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8),
+                     nprobe: int = 2, iters: int = 2) -> DataFrame:
+    """IVF-flat ANN over Lloyd-trained centroids — the production-grade
+    variant of ivf_topk (same probe/candidate algebra, better-balanced
+    cells). Deterministic end-to-end; the DuckDB oracle twin unrolls the
+    same two training iterations in SQL."""
+    with _resolved(embeddings):
+        cents = ivf_train_centroids(embeddings, centroid_ids, iters)
+        assign = _assign_cells(embeddings, cents)
+        q = embeddings.filter(F.col("vec_id") == query_vec_id) \
+            .select(F.col("embedding").alias("qe"))
+        qd = q.crossJoin(F.broadcast(cents)).select(
+            "qe", "cid",
+            F.round(_dot(F.col("qe"), F.col("qe"))
+                    - 2 * _dot(F.col("qe"), F.col("cvec"))
+                    + _dot(F.col("cvec"), F.col("cvec")), 6).alias("d2"))
+        probe = qd.orderBy("d2", "cid").limit(nprobe) \
+            .select(F.col("cid").alias("cell"), "qe")
+        cand = embeddings.join(assign, "vec_id") \
+            .join(F.broadcast(probe), "cell") \
+            .filter(F.col("vec_id") != query_vec_id)
+        scored = cand.select(
+            "vec_id", "cell",
+            F.round(_dot(F.col("embedding"), F.col("qe"))
+                    / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6)
+             .alias("cosine"))
+        return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+@_auto_dot
 def pairwise_topk_per_label_lsh(embeddings: DataFrame, k: int = 3,
                                 anchor_ids=(1, 2, 3, 4)) -> DataFrame:
     """Skew-safe per-label top-k pairs: candidates come from (label,
@@ -206,6 +358,7 @@ def pairwise_topk_per_label_lsh(embeddings: DataFrame, k: int = 3,
                 .filter(F.col("rk") <= k).drop("rk")
 
 
+@_auto_dot
 def pairwise_topk_per_label(embeddings: DataFrame, k: int = 3,
                             force: bool = False) -> DataFrame:
     """For each label, the k most-similar same-label pairs — a bounded

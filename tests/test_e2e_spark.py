@@ -230,7 +230,8 @@ def test_driver_window_covers_every_family():
         "dedup_exact", "dedup_keep_lsh", "dedup_components",
         "dedup_minhash_lsh", "dedup_verify_lsh", "dedup_simhash_near",
         "dedup_embedding_lsh", "ann_cosine_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "ann_pairwise_topk_lsh", "dedup_decontaminate",
+        "ann_ivf_topk", "ann_ivf_trained", "ann_pairwise_topk_lsh",
+        "dedup_decontaminate",
         # sampling / text / media (the 7 rows that fell out in r4)
         "sample_split", "sample_stratified", "sample_pack",
         "text_token_stats", "text_bpe_tokens", "text_quality_score",

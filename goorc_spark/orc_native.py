@@ -205,7 +205,15 @@ def _decompress(raw, kind: int, limit: int | None = None) -> bytes:
         if original:
             out += chunk_bytes
         elif kind == COMP_ZLIB:
-            out += zlib.decompressobj(-15).decompress(bytes(chunk_bytes))
+            if limit is not None:
+                # stop inflating INSIDE the chunk once the window has
+                # enough bytes — JVM writers put a whole small stripe's
+                # stream in one 256 KB chunk, where chunk-granularity
+                # alone decompresses everything (r5; seek windows only)
+                out += zlib.decompressobj(-15).decompress(
+                    bytes(chunk_bytes), max(limit - len(out), 1))
+            else:
+                out += zlib.decompressobj(-15).decompress(bytes(chunk_bytes))
         elif kind in (COMP_SNAPPY, COMP_ZSTD):
             b = bytes(chunk_bytes)
             size = _snappy_size(b) if kind == COMP_SNAPPY else _zstd_size(b)

@@ -727,6 +727,41 @@ def test_native_writer_row_index_nested(spark, tmp_path):
     assert row.asDict()["arr"] == t.column("arr")[28321].as_py()
 
 
+def test_row_index_seek_jvm_nested(spark, tmp_path):
+    """Seek a JVM-WRITTEN nested indexed file: Spark's writer records true
+    mid-stream positions (non-zero value/bit skips) for struct/list
+    children — _SeekCursor consumes them as-is. The JVM puts a whole
+    small stripe's stream in ONE 256 KB zlib chunk, where chunk-offset
+    pruning alone decompresses everything; the seek window now stops
+    inflating mid-chunk at its limit, so a point read costs the group's
+    position fraction of each stream (early groups ~1/3) instead of all
+    of it."""
+    n = 30_000
+    rows = [(i,
+             None if i % 7 == 0 else {"a": i, "b": f"v{i % 50}"},
+             None if i % 6 == 0 else [int(x) for x in range(i % 4)],
+             None if i % 11 == 0 else (i % 3 == 0))
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "id bigint, s struct<a:bigint,b:string>, "
+              "arr array<bigint>, flag boolean").coalesce(1)
+    d = str(tmp_path / "jvm_nested_idx")
+    df.orderBy("id").write.mode("overwrite") \
+        .option("orc.row.index.stride", "1000") \
+        .option("orc.compress", "ZLIB").orc(d)
+    f = glob.glob(d + "/*.orc")[0]
+    data = open(f, "rb").read()
+    _, footer = on.parse_tail(data)
+    assert footer["row_index_stride"] == 1000
+    mf: dict = {}
+    full = on.read_orc_rows(data, 0, n, metrics=mf)
+    for lo, frac in ((50, 0.45), (14_321, 0.95)):
+        m: dict = {}
+        part = on.read_orc_rows(data, lo, lo + 10, metrics=m)
+        assert part.equals(full.slice(lo, 10))
+        assert m["decompressed_bytes"] < frac * mf["decompressed_bytes"]
+
+
 def test_stride_nullable_boolean_regression():
     """A nullable boolean column under row_index_stride: per-segment bool
     RLE restarts only concatenate validly at byte-aligned boundaries, and

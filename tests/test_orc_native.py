@@ -727,6 +727,59 @@ def test_native_writer_row_index_nested(spark, tmp_path):
     assert row.asDict()["arr"] == t.column("arr")[28321].as_py()
 
 
+def test_native_writer_row_index_nested_type_matrix(spark, tmp_path):
+    """Nested stride writer across the full scalar matrix as CHILDREN:
+    decimal/timestamp/date/float/tinyint/bool inside a nullable struct,
+    list<struct<int,string>>, map<int,list<double>> — every stream family
+    (varint DATA+SECONDARY, DATA+SECONDARY rle pairs, raw floats, byte
+    RLE, continuous-bit bool, nested LENGTH chains) segments and seeks;
+    pyarrow and the JVM cross-read the indexed files."""
+    n = 12_000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([None if i % 9 == 0 else {
+            "d": decimal.Decimal(i) / 100,
+            "ts": (datetime.datetime(2020, 1, 1)
+                   + datetime.timedelta(seconds=i * 7)),
+            "dt": (datetime.date(2020, 1, 1)
+                   + datetime.timedelta(days=i % 900)),
+            "f": float(i) * 0.5,
+            "by": i % 120 - 60,
+            "bl": bool(i % 3),
+        } for i in range(n)], type=pa.struct([
+            ("d", pa.decimal128(12, 2)), ("ts", pa.timestamp("us")),
+            ("dt", pa.date32()), ("f", pa.float32()),
+            ("by", pa.int8()), ("bl", pa.bool_())])),
+        "ls": pa.array([None if i % 8 == 0 else
+                        [{"a": i + j, "t": f"x{j}"} for j in range(i % 3)]
+                        for i in range(n)],
+                       type=pa.list_(pa.struct([("a", pa.int64()),
+                                                ("t", pa.string())]))),
+        "mm": pa.array([[(j, [float(j), float(i % 5)])
+                         for j in range(i % 2 + 1)] for i in range(n)],
+                       type=pa.map_(pa.int32(), pa.list_(pa.float64()))),
+    })
+    for stride in (1000, 728):
+        data = on.write_orc(tbl, compression="zlib", stripe_rows=6000,
+                            row_index_stride=stride)
+        got = on.read_orc(data)
+        assert got.equals(tbl.cast(got.schema))
+        m, mf = {}, {}
+        on.read_orc_rows(data, 0, n, metrics=mf)
+        part = on.read_orc_rows(data, 8_321, 8_331, metrics=m)
+        assert part.equals(tbl.slice(8_321, 10).cast(part.schema))
+        assert m["decompressed_bytes"] < 0.10 * mf["decompressed_bytes"]
+        assert po.read_table(io.BytesIO(data)).cast(tbl.schema).equals(tbl)
+    d = tmp_path / "nwidx_matrix"
+    d.mkdir()
+    (d / "part-0.orc").write_bytes(data)
+    jvm = spark.read.orc(str(d))
+    assert jvm.count() == n
+    row = jvm.filter("id = 8321").collect()[0]
+    assert float(row.s.d) == 83.21 and row.s.by == 8321 % 120 - 60
+    assert [x.a for x in row.ls] == [8321, 8322]
+
+
 def test_row_index_seek_jvm_nested(spark, tmp_path):
     """Seek a JVM-WRITTEN nested indexed file: Spark's writer records true
     mid-stream positions (non-zero value/bit skips) for struct/list

@@ -596,11 +596,30 @@ def main() -> None:
         queries["orc_native_read"] = round(rsec, 3)
         jsec, jrows, jatt = median3(lambda: spark.read.orc(orc_dir).count())
         queries["orc_jvm_read_same_files"] = round(jsec, 3)
+        # count() is NOT a fair read comparison: the JVM reader serves it
+        # from stripe row counts with an empty required schema (no column
+        # decode), while read_orc_files materializes every column. The
+        # *_decode legs force both sides to decode the text column.
+        decode_q = lambda df: df.select(  # noqa: E731
+            F.sum(F.length("text")).alias("b")).collect()[0]["b"]
+        ndsec, nbytes_text, ndatt = median3(
+            lambda: decode_q(orc_native.read_orc_files(
+                spark, orc_dir + "/*.orc", columns=["text"])))
+        queries["orc_native_read_decode"] = round(ndsec, 3)
+        jdsec, jbytes_text, jdatt = median3(
+            lambda: decode_q(spark.read.orc(orc_dir)))
+        queries["orc_jvm_read_decode"] = round(jdsec, 3)
+        assert nbytes_text == jbytes_text  # same bytes decoded both ways
         extras["orc_native"] = {
             "rows": nrows, "write_turns_per_sec": round(n_turns / nsec),
             "read_turns_per_sec": round(nrows / rsec),
             "jvm_read_turns_per_sec": round(jrows / max(jsec, 1e-9)),
             "read_attempts_sec": ratt, "jvm_read_attempts_sec": jatt,
+            "decode_text_turns_per_sec": round(nrows / ndsec),
+            "jvm_decode_text_turns_per_sec": round(nrows / jdsec),
+            "decode_attempts_sec": ndatt, "jvm_decode_attempts_sec": jdatt,
+            "count_caveat": "jvm count() reads stripe metadata only; "
+                            "the *_decode legs are the fair comparison",
             "headline": "median-of-3",
         }
 

@@ -303,13 +303,21 @@ def ivf_train_centroids(embeddings: DataFrame,
 
 def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
                      k: int = 10, centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8),
-                     nprobe: int = 2, iters: int = 2) -> DataFrame:
+                     nprobe: int = 2, iters: int = 2,
+                     materialize: bool = True) -> DataFrame:
     """IVF-flat ANN over Lloyd-trained centroids — the production-grade
     variant of ivf_topk (same probe/candidate algebra, better-balanced
     cells). Deterministic end-to-end; the DuckDB oracle twin unrolls the
-    same two training iterations in SQL."""
+    same two training iterations in SQL. `materialize` (default) runs
+    training ONCE and re-broadcasts the centroid rows as a local
+    relation — the trained set is centroid-count-sized (bounded driver
+    metadata, like the skew-key list), while leaving it lazy would embed
+    the whole training DAG in each of the probe/assign/score branches."""
     with _resolved(embeddings):
         cents = ivf_train_centroids(embeddings, centroid_ids, iters)
+        if materialize:
+            cents = embeddings.sparkSession.createDataFrame(
+                cents.collect(), schema=cents.schema)
         assign = _assign_cells(embeddings, cents)
         q = embeddings.filter(F.col("vec_id") == query_vec_id) \
             .select(F.col("embedding").alias("qe"))

@@ -277,6 +277,51 @@ def _orc_native_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.filter(F.col("conv_id") == "conv-00000001")
 
 
+def _orc_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC UNION (type kind 13) write+read with the repo's OWN codecs —
+    BEYOND the reference, whose column factory returns an error for
+    pb.Type_UNION (orc/column/package.go:187-192). events become a dense
+    union<double, string> keyed by event_id parity; the native writer
+    emits the byte-RLE tag stream + densely-packed children, the native
+    reader surfaces struct<tag:int8, field0, field1> (Spark has no union
+    type), and the flattened columns get a plain-SQL DuckDB twin.
+    pyarrow's C++ reader cross-reads the same bytes (tests/
+    test_orc_union.py — which also pins the union-inside-list case the
+    C++ reader itself gets WRONG and this reader gets right). Byte-level
+    format-parity gate, built driver-side at gate scale like
+    _orc_native_row_seek; the distributed path is write_orc_files /
+    read_orc_files, gated by orc_native_write."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "value"]).sort_by("event_id")
+    eid = ev.column("event_id").to_numpy()
+    val = ev.column("value").to_numpy()
+    tags = (eid % 2).astype(np.int8)
+    off = np.zeros(len(eid), np.int32)
+    for tnum in (0, 1):
+        sel = tags == tnum
+        off[sel] = np.arange(int(sel.sum()), dtype=np.int32)
+    u = pa.UnionArray.from_dense(
+        pa.array(tags), pa.array(off),
+        [pa.array(val[tags == 0]),
+         pa.array([f"ev{i}" for i in eid[tags == 1]])])
+    src = pa.table({"event_id": pa.array(eid), "u": u})
+    got = orc_native.read_orc(orc_native.write_orc(src, stripe_rows=4096))
+    gu = got.column("u").combine_chunks()
+    flat = pa.table({"event_id": got.column("event_id"),
+                     "tag": gu.field("tag"),
+                     "num": gu.field("field0"),
+                     "txt": gu.field("field1")})
+    # to_pylist keeps nulls as None (to_pandas would coerce the nullable
+    # double to NaN, which Spark stores as NaN, not NULL)
+    return spark.createDataFrame(flat.to_pylist(),
+                                 schema=from_arrow_schema(flat.schema))
+
+
 def _decode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-layer column pruning: only the requested columns' streams
     are decompressed (reference BatchOption.Includes, orc/stripe.go:250)."""
@@ -498,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_native_write_pushdown": _orc_native_write_pushdown,
         "orc_native_row_seek": _orc_native_row_seek,
         "orc_native_bloom_eq": _orc_native_bloom_eq,
+        "orc_union_roundtrip": _orc_union_roundtrip,
         "decode_projection": _decode_projection,
         "point_lookup": _point_lookup,
         "point_lookup_multi": _point_lookup_multi,
@@ -805,6 +851,14 @@ def oracle_sql() -> dict[str, str]:
         "orc_native_bloom_eq":
             f"SELECT * FROM ({transcripts.ORACLE_SQL}) "
             "WHERE conv_id = 'conv-00000001'",
+        "orc_union_roundtrip": """
+SELECT event_id,
+       CAST(event_id % 2 AS TINYINT) AS tag,
+       CASE WHEN event_id % 2 = 0 THEN value END AS num,
+       CASE WHEN event_id % 2 = 1
+            THEN 'ev' || CAST(event_id AS VARCHAR) END AS txt
+FROM events
+""",
         "encode_lineage": """
 SELECT count(*) AS total_rows, TRUE AS ids_unique, TRUE AS enc_positive,
        TRUE AS raw_positive, TRUE AS seq_contiguous

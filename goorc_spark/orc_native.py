@@ -933,6 +933,28 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
                 pa.array(offsets64.astype(np.int32)), keys, vals)
         return _take_spread(dense, mask)
 
+    if kind == T_UNION:
+        # ORC UNION (kind 13): DATA holds one byte-RLE tag per present
+        # row; each child stream stores only the rows its tag selects
+        # (dense layout). Spark has no union type, so surface it as
+        # struct<tag:int8, field0..fieldN> with exactly the tagged field
+        # non-null — lossless, filterable, and Arrow->Spark convertible.
+        # The reference leaves UNION unimplemented
+        # (orc/column/package.go:187-192); this exceeds parity.
+        tags = cur.bytes_rle(col, n_vals)
+        fields = [pa.array(tags.view(np.int8), type=pa.int8())]
+        names = ["tag"]
+        for i, cid in enumerate(t["subtypes"]):
+            sel = tags == i
+            child = _decode_column(cur, types, cid, int(sel.sum()),
+                                   tz_base, None)
+            pos = (np.cumsum(sel) - 1).astype(np.int64)
+            fields.append(child.take(
+                pa.array(pos, type=pa.int64(), mask=~sel)))
+            names.append(f"field{i}")
+        st = pa.StructArray.from_arrays(fields, names)
+        return _take_spread(st, mask)
+
     if kind == T_BOOLEAN:
         bits = cur.bools(col, n_vals)
         vals = pa.array(bits, type=pa.bool_())
@@ -1034,9 +1056,7 @@ def _decode_column(cur: _StripeCursor, types: list[dict], col: int,
                 hi[i] = v >> 64
         vals = _decimal_from_limbs(lo, hi, None, n_vals, prec, scale)
     else:
-        raise NotImplementedError(f"ORC type kind {kind} (union) not "
-                                  "supported — matches the reference "
-                                  "(orc/column/package.go:187-192)")
+        raise NotImplementedError(f"ORC type kind {kind} not supported")
     return _take_spread(vals, mask)
 
 
@@ -1064,6 +1084,10 @@ def _arrow_type(types: list[dict], col: int) -> pa.DataType:
     if k == T_STRUCT:
         return pa.struct([(n, _arrow_type(types, c))
                           for n, c in zip(t["field_names"], t["subtypes"])])
+    if k == T_UNION:
+        return pa.struct([("tag", pa.int8())]
+                         + [(f"field{i}", _arrow_type(types, c))
+                            for i, c in enumerate(t["subtypes"])])
     raise NotImplementedError(f"ORC type kind {k}")
 
 
@@ -1090,7 +1114,10 @@ def read_orc(data: bytes, columns: list[str] | None = None,
              reader_timezone: str | None = None) -> pa.Table:
     """Decode a whole ORC file's bytes into an Arrow table using only this
     repo's codecs. Supports NONE/ZLIB compression, DIRECT_V2 +
-    DICTIONARY_V2 encodings, every ORC v1 type except UNION.
+    DICTIONARY_V2 encodings, every ORC v1 type — UNION included,
+    surfaced as struct<tag:int8, field0..fieldN> since Spark has no
+    union type (the reference leaves UNION unimplemented,
+    orc/column/package.go:187-192).
 
     Timestamps decode to the writer's TRUE instants by default (bit-equal
     to a JVM reader running in the writer's stamped zone). Pass
@@ -1308,7 +1335,7 @@ _ARROW_TO_ORC = [
     (pa.types.is_large_binary, T_BINARY), (pa.types.is_date32, T_DATE),
     (pa.types.is_timestamp, T_TIMESTAMP), (pa.types.is_decimal, T_DECIMAL),
     (pa.types.is_list, T_LIST), (pa.types.is_map, T_MAP),
-    (pa.types.is_struct, T_STRUCT),
+    (pa.types.is_struct, T_STRUCT), (pa.types.is_union, T_UNION),
 ]
 
 
@@ -1343,6 +1370,10 @@ def _type_tree(schema_or_type, types: list, names_of: list) -> int:
     elif node["kind"] == T_MAP:
         node["subtypes"].append(_type_tree(t.key_type, types, names_of))
         node["subtypes"].append(_type_tree(t.item_type, types, names_of))
+    elif node["kind"] == T_UNION:
+        # ORC UNION carries subtypes only — no field names in the proto
+        for f in t:
+            node["subtypes"].append(_type_tree(f.type, types, names_of))
     return my_id
 
 
@@ -1378,7 +1409,7 @@ def _node_stats(arr: pa.Array, vals: pa.Array, kind: int,
     exact-overflow-checked path, decimal sums skipped entirely, float
     min/max/sum skipped when any value is NaN."""
     st: dict = {"n": len(vals), "has_null": bool(arr.null_count)}
-    if len(vals) == 0 or kind in (T_STRUCT, T_LIST, T_MAP):
+    if len(vals) == 0 or kind in (T_STRUCT, T_LIST, T_MAP, T_UNION):
         return st
     if kind in _INT_KINDS:
         from goorc_spark.arrow_stripe import _exact_int_sum
@@ -1486,6 +1517,35 @@ def _merge_col_stats(kind: int, parts: list[dict]) -> dict:
     return out
 
 
+def _union_parts(arr: pa.Array) -> tuple[np.ndarray, list[pa.Array]]:
+    """(child-index tags, children gathered into row order) for a union
+    array, slice-correct in both modes: pyarrow's .type_codes/.offsets
+    views ignore the slice offset (measured on 16.1), so index the raw
+    buffers at arr.offset explicitly; arbitrary Arrow type codes remap to
+    0..N-1 ORC tags via a 128-entry LUT."""
+    o, ln = arr.offset, len(arr)
+    bufs = arr.buffers()
+    codes = np.frombuffer(bufs[1], np.int8)[o:o + ln]
+    ut = arr.type
+    lut = np.zeros(128, np.uint8)
+    for i, tc in enumerate(ut.type_codes):
+        lut[tc] = i
+    tags = lut[codes]
+    children = []
+    for i in range(ut.num_fields):
+        sel = tags == i
+        if ut.mode == "dense":
+            # dense field(i) is the full unsliced child; offsets buffer
+            # indexes into it
+            idx = np.frombuffer(bufs[2], np.int32)[o:o + ln][sel] \
+                .astype(np.int64)
+        else:
+            # sparse field(i) is already slice-adjusted to this window
+            idx = np.flatnonzero(sel).astype(np.int64)
+        children.append(arr.field(i).take(pa.array(idx, type=pa.int64())))
+    return tags, children
+
+
 def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
                           streams: list, encodings: dict,
                           types: list | None = None,
@@ -1564,6 +1624,20 @@ def _write_column_streams(arr: pa.Array, col_id: int, node: dict,
                                   force_present, allow_dict, raw_bool)
             _write_column_streams(items, node["subtypes"][1],
                                   types[node["subtypes"][1]], streams,
+                                  encodings, types, tz, stats,
+                                  force_present, allow_dict, raw_bool)
+        return
+    if kind == T_UNION:
+        # one byte-RLE tag per row; children written densely in row order
+        # (the layout _decode_column's T_UNION branch reads back and the
+        # JVM/C++ readers expect). byte RLE self-delimits, so stride-mode
+        # per-segment restarts concatenate spec-valid like every other
+        # byte-granular codec here.
+        tags, children = _union_parts(arr)
+        streams.append((col_id, DATA, byterle.encode(tags)))
+        encodings[col_id] = (ENC_DIRECT, 0)
+        for i, sub in enumerate(node["subtypes"]):
+            _write_column_streams(children[i], sub, types[sub], streams,
                                   encodings, types, tz, stats,
                                   force_present, allow_dict, raw_bool)
         return
@@ -1754,6 +1828,10 @@ def _nullable_cols(arr, col_id: int, node: dict, types: list,
                            types[node["subtypes"][0]], types, out)
             _nullable_cols(items, node["subtypes"][1],
                            types[node["subtypes"][1]], types, out)
+    elif kind == T_UNION:
+        _, children = _union_parts(arr)
+        for i, sub in enumerate(node["subtypes"]):
+            _nullable_cols(children[i], sub, types[sub], types, out)
 
 
 def _stride_stripe(sub: pa.Table, types: list, comp: int, block: int,

@@ -223,6 +223,7 @@ def test_driver_window_covers_every_family():
         "orc_native_write", "orc_native_read_legacy",
         "orc_native_read_split", "orc_native_write_pushdown",
         "orc_native_row_seek", "orc_native_bloom_eq",
+        "orc_union_roundtrip",
         "decode_projection", "point_lookup", "point_lookup_multi",
         "row_seek", "compact_roundtrip", "range_scan", "encode_lineage",
         "run_stats_allkinds", "stream_conv_stats", "stream_window_stats",

@@ -509,6 +509,8 @@ def _position_streams(kind: int, enc: int,
         out += [(DATA, _POS_RAW), (SECONDARY, _POS_RLE)]
     elif kind in (T_LIST, T_MAP):
         out.append((LENGTH, _POS_RLE))
+    elif kind == T_UNION:
+        out.append((DATA, _POS_BYTE))  # tag stream, same codec as tinyint
     return out  # struct: PRESENT only
 
 

@@ -218,6 +218,34 @@ def test_union_stride_row_index(tmp_path):
     _assert_tables_equal(read_orc(blob), orc.read_table(str(p)))
 
 
+def test_union_row_seek_indexed(tmp_path):
+    """ROW_INDEX seek into a union column: _position_streams records the
+    tag stream like tinyint (byte-RLE run skip), children carry their own
+    per-group positions, so read_orc_rows decodes only covering groups."""
+    rng = np.random.default_rng(29)
+    n = 6000
+    tags = rng.integers(0, 2, n).astype(np.int8)
+    cnt = [int((tags == i).sum()) for i in range(2)]
+    u = _dense_union(tags, [
+        pa.array(rng.normal(size=cnt[0])),
+        pa.array([f"q{j}" for j in range(cnt[1])]),
+    ])
+    tbl = pa.table({"u": u, "k": pa.array(np.arange(n, dtype=np.int64))})
+    blob = write_orc(tbl, stripe_rows=2000, row_index_stride=500)
+    from goorc_spark.orc_native import read_orc_rows
+    got = read_orc_rows(blob, 2750, 3250)
+    assert got.column("k").to_pylist() == list(range(2750, 3250))
+    gu = got.column("u").combine_chunks()
+    bare = [None if v is None else v[f"field{v['tag']}"]
+            for v in gu.to_pylist()]
+    assert bare == tbl.slice(2750, 500).column("u").to_pylist()
+    # the stride file's new union positions stay JVM/C++-conformant
+    p = tmp_path / "stride_seek.orc"
+    p.write_bytes(blob)
+    ref = orc.read_table(str(p)).column("u").combine_chunks()
+    assert (ref.type_codes.to_numpy(zero_copy_only=False) == tags).all()
+
+
 def test_union_empty_and_single_child_selected(tmp_path):
     # all rows pick child 0; child 1 is fully empty
     n = 100

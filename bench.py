@@ -397,6 +397,37 @@ def roofline_arithmetic(kernel: dict, roof: dict,
     }
 
 
+def box_health() -> dict:
+    """~2 s single-process host-health probe recorded at bench start AND
+    end, so every artifact self-documents whether its window was sane:
+    hypervisor CPU steal shows as guest-idle with collapsed throughput
+    (measured on this box 2026-08-17: copy 2.1 GB/s vs the normal ~13,
+    int64 ALU ~50x slow — numbers from such a window grade the host, not
+    the engine). Healthy reference on this box: copy >= 8 GB/s/proc,
+    int64 mul+shift >= 200 Mops/s."""
+    import numpy as np
+
+    src = np.zeros(256 << 20, dtype=np.uint8)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # touch pages
+    t0 = time.monotonic()
+    reps = 4
+    for _ in range(reps):
+        np.copyto(dst, src)
+    copy_gbps = 2 * reps * src.nbytes / (time.monotonic() - t0) / 1e9
+    # cache-resident (8 MB) so this leg reads ALU rate, not bandwidth again
+    x = np.arange(1_000_000, dtype=np.int64)
+    (x * 2654435761) >> np.int64(13)  # warm
+    t0 = time.monotonic()
+    reps = 100
+    for _ in range(reps):
+        (x * 2654435761) >> np.int64(13)
+    mops = reps * x.size / (time.monotonic() - t0) / 1e6
+    return {"copy_gbps_1proc": round(copy_gbps, 1),
+            "int64_mops_1proc": round(mops, 0),
+            "healthy_floor": {"copy_gbps_1proc": 8, "int64_mops_1proc": 200}}
+
+
 def orc_zlib_oracle_bytes(pdf) -> int:
     """Size of the same rows written by pyarrow's ORC writer with zlib —
     stands in for the goorc-written file (same format family,
@@ -421,6 +452,7 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     extras: dict = {}
+    extras["box_health"] = {"start": box_health()}
 
     # ---- phase 1: scaling evidence — N vs 4N EXECUTORS on a real local
     # standalone cluster (separate Master/Worker/executor JVMs, each
@@ -805,6 +837,7 @@ def main() -> None:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
 
+    extras["box_health"]["end"] = box_health()
     out = {
         "metric": "transcripts stripe-encode throughput (turns/sec) + pipeline ops",
         "value": round(sum(queries.values()), 3),

@@ -826,11 +826,24 @@ def main() -> None:
                      docs10, docs10.filter("doc_id % 17 = 0"),
                      n=32).count()),
             ):
-                s1, _ = timed(one_x)
+                # growth legs are single-shot (the x10 legs are the most
+                # expensive in the file) — take the FASTER of 2 x1 runs
+                # and bracket each leg with box-health probes so a host
+                # stall inside one leg (observed: decontaminate x1 220 s
+                # then x10 90 s in the same run, "growth" 0.41) is
+                # attributable in-artifact instead of reading as a
+                # quadratic term
+                h0 = box_health()
+                s1a, _ = timed(one_x)
+                s1b, _ = timed(one_x)
+                s1 = min(s1a, s1b)
                 s10, _ = timed(ten_x)
                 growth[name] = {"x1_sec": round(s1, 3),
                                 "x10_sec": round(s10, 3),
-                                "growth": round(s10 / max(s1, 1e-9), 2)}
+                                "growth": round(s10 / max(s1, 1e-9), 2),
+                                "x1_attempts": [round(s1a, 3),
+                                                round(s1b, 3)],
+                                "leg_box_health": h0}
             extras["dedup_growth"] = {"x10_rows": n10, "legs": growth}
             docs10.unpersist()
     finally:

@@ -274,3 +274,32 @@ def test_union_projection_prunes_subtree(tmp_path):
     only_k = read_orc(blob, columns=["k"])
     assert only_k.schema.names == ["k"]
     assert only_k.column("k").to_pylist() == list(range(n))
+
+
+def test_union_spark_jvm_cannot_native_reader_can(tmp_path, spark):
+    """Spark's JVM ORC datasource cannot open union files AT ALL — it
+    fails parsing the schema string `uniontype<double,string>`
+    (ParseException, measured on Spark 4.1) because Catalyst has no
+    union type. This repo's read_orc_files is therefore the only
+    Spark-side path for such files, surfacing the tagged struct."""
+    import numpy as np
+
+    tags = np.array([0, 1] * 50, np.int8)
+    u = _dense_union(tags, [
+        pa.array(np.arange(50.0)),
+        pa.array([f"s{j}" for j in range(50)]),
+    ])
+    tbl = pa.table({"u": u, "k": pa.array(np.arange(100, dtype=np.int64))})
+    d = tmp_path / "uorc"
+    d.mkdir()
+    (d / "part-0.orc").write_bytes(write_orc(tbl))
+
+    with pytest.raises(Exception) as ei:
+        spark.read.orc(str(d)).collect()
+    assert "uniontype" in str(ei.value) or "PARSE" in str(ei.value)
+
+    from goorc_spark.orc_native import read_orc_files
+    df = read_orc_files(spark, str(d) + "/*.orc")
+    assert df.schema["u"].dataType.typeName() == "struct"
+    assert df.count() == 100
+    assert df.filter("u.tag = 1").count() == 50

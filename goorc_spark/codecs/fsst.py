@@ -96,40 +96,94 @@ def train(data: bytes) -> list[bytes]:
     return table
 
 
+# deterministic odd multipliers for the multiply-shift perfect-hash search
+# (golden-ratio constant and fixed xorshift-style follow-ups)
+_MS_MULTIPLIERS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD,
+                   0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D, 0xD6E8FEB86659FD93,
+                   0xA24BAED4963EE407, 0x9FB21C651E98DF25)
+
+
+class _Membership:
+    """Reusable exact-membership structure over a small key set, built once
+    per symbol table (compile_table) instead of once per compress call.
+
+    Probe path, fastest first: a multiply-shift perfect hash —
+    idx = (key * a) >> shift into a power-of-two table, collision-free `a`
+    found among a few fixed odd multipliers — needs one vector multiply +
+    shift + two gathers per probe (a uint64 modulo, the previous scheme,
+    is ~3x slower in numpy: no vectorized 64-bit division). Falls back to
+    the modulo perfect hash, then to searchsorted. Exact in every mode, so
+    callers' output bytes are unchanged."""
+
+    __slots__ = ("mode", "mult", "shift", "M", "Md", "slot_key", "slot_pay",
+                 "slot_ok", "skeys", "spay")
+
+    def __init__(self, keys: np.ndarray, payload: np.ndarray):
+        n = max(len(keys), 1)
+        wide = keys.astype(np.uint64)
+        # multiply-shift search: smallest 2^k with load factor <= 0.5
+        k = max((2 * n - 1).bit_length(), 3)
+        while k <= 16:
+            sh = np.uint64(64 - k)
+            for a in _MS_MULTIPLIERS:
+                au = np.uint64(a)
+                idx = (wide * au) >> sh
+                if len(np.unique(idx)) == len(keys):
+                    self.mode = "ms"
+                    self.mult = au
+                    self.shift = sh
+                    M = 1 << k
+                    self.slot_key = np.zeros(M, dtype=keys.dtype)
+                    self.slot_pay = np.zeros(M, dtype=payload.dtype)
+                    self.slot_ok = np.zeros(M, dtype=bool)
+                    self.slot_key[idx] = keys
+                    self.slot_pay[idx] = payload
+                    self.slot_ok[idx] = True
+                    return
+            k += 1
+        M = 0
+        trial = max(2 * len(keys), 16)
+        while trial <= 1 << 16:
+            if len(np.unique(keys % keys.dtype.type(trial))) == len(keys):
+                M = trial
+                break
+            trial = trial * 2 + 1
+        self.M = M
+        if M:
+            self.mode = "mod"
+            self.Md = keys.dtype.type(M)
+            self.slot_key = np.zeros(M, dtype=keys.dtype)
+            self.slot_pay = np.zeros(M, dtype=payload.dtype)
+            self.slot_ok = np.zeros(M, dtype=bool)
+            at0 = keys % self.Md
+            self.slot_key[at0] = keys
+            self.slot_pay[at0] = payload
+            self.slot_ok[at0] = True
+        else:
+            self.mode = "sort"
+            sidx = np.argsort(keys)
+            self.skeys, self.spay = keys[sidx], payload[sidx]
+
+    def probe(self, probes: np.ndarray):
+        if self.mode == "ms":
+            at = (probes.astype(np.uint64, copy=False) * self.mult) \
+                >> self.shift
+            hit = self.slot_ok[at] & (self.slot_key[at] == probes)
+            return hit, self.slot_pay[at[hit]]
+        if self.mode == "mod":
+            at = probes % self.Md
+            hit = self.slot_ok[at] & (self.slot_key[at] == probes)
+            return hit, self.slot_pay[at[hit]]
+        at = np.searchsorted(self.skeys, probes)
+        at[at == len(self.skeys)] = 0
+        hit = self.skeys[at] == probes
+        return hit, self.spay[at[hit]]
+
+
 def _exact_membership(keys: np.ndarray, payload: np.ndarray,
                       probes: np.ndarray):
-    """(hit_mask, payload_at_hits) of `probes` against the small `keys`
-    set: a tiny perfect-hash table — smallest modulus that maps the keys
-    collision-free, found in a few doubling tries — does membership with
-    one modulo + two gathers instead of a branchy binary search per probe
-    (measured 10x on ~10^6 probes vs ~10^2 keys). Falls back to
-    searchsorted when no small modulus exists. Exact either way, so
-    callers' output bytes are unchanged."""
-    M = 0
-    trial = max(2 * len(keys), 16)
-    while trial <= 1 << 16:
-        if len(np.unique(keys % keys.dtype.type(trial))) == len(keys):
-            M = trial
-            break
-        trial = trial * 2 + 1
-    if M:
-        Md = keys.dtype.type(M)
-        slot_key = np.zeros(M, dtype=keys.dtype)
-        slot_pay = np.zeros(M, dtype=payload.dtype)
-        slot_ok = np.zeros(M, dtype=bool)
-        at0 = keys % Md
-        slot_key[at0] = keys
-        slot_pay[at0] = payload
-        slot_ok[at0] = True
-        probe = probes % Md
-        hit = slot_ok[probe] & (slot_key[probe] == probes)
-        return hit, slot_pay[probe[hit]]
-    sidx = np.argsort(keys)
-    skeys, spay = keys[sidx], payload[sidx]
-    at = np.searchsorted(skeys, probes)
-    at[at == len(skeys)] = 0
-    hit = skeys[at] == probes
-    return hit, spay[at[hit]]
+    """One-shot form of _Membership (kept for the training-side callers)."""
+    return _Membership(keys, payload).probe(probes)
 
 
 def _drop_overlaps(pos: np.ndarray, codes: np.ndarray, L: int):
@@ -159,162 +213,159 @@ def _rolling_keys4(arr: np.ndarray) -> np.ndarray:
     return h
 
 
-def _candidate_scan(h4: np.ndarray, n: int, by_len: dict) -> dict:
-    """Candidate positions for EVERY length class from ONE full-stream pass:
-    a 65536-entry LUT on the leading two bytes carries a per-class bitmask
-    (exact key for 2/3-byte classes, prefilter for >=4), so one gather + one
-    flatnonzero replaces the three separate membership scans. Classes >= 4
-    are then refined by one shared searchsorted against the sorted union of
-    their symbols' 4-byte prefixes."""
-    classes = sorted(by_len, reverse=True)
-    lut = np.zeros(65536, dtype=np.uint8)
-    pref_mask: dict[int, int] = {}
-    for ci, L in enumerate(classes):
-        bit = 1 << ci
-        for _, s in by_len[L]:
-            if L >= 4:
-                k = int.from_bytes(bytes(s[:4]), "big")
-                pref_mask[k] = pref_mask.get(k, 0) | bit
-                lut[k >> 16] |= bit
-            else:
-                lut[(int(s[0]) << 8) | int(s[1])] |= bit
-    m = lut[(h4 >> np.uint32(16))[: n - 1]]
-    candall = np.flatnonzero(m).astype(np.int32, copy=False)
-    mall = m[candall]
-    empty = np.empty(0, dtype=np.int32)
-    out: dict[int, np.ndarray] = {L: empty for L in classes}
-    hi = [(ci, L) for ci, L in enumerate(classes) if L >= 4]
-    if hi and n >= 4:
-        hibits = 0
-        for ci, _ in hi:
-            hibits |= 1 << ci
-        c0 = candall[(mall & hibits) != 0]
-        c0 = c0[c0 <= n - 4]
-        hv = h4[c0]
-        pref = np.array(sorted(pref_mask), dtype=np.uint32)
-        masks = np.array([pref_mask[int(k)] for k in pref], dtype=np.uint8)
-        hit, hit_masks = _exact_membership(pref, masks, hv)
-        hits = c0[hit]
-        for ci, L in hi:
-            out[L] = hits[(hit_masks & (1 << ci)) != 0]
-    for ci, L in enumerate(classes):
-        if L < 4:
-            out[L] = candall[(mall & (1 << ci)) != 0]
-    return out
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
 
 
-def _match_length_class(h4: np.ndarray, n: int, cand,
-                        taken: np.ndarray, syms: list, L: int):
-    """All not-taken, non-overlapping matches of EVERY length-L symbol in
-    one vector pass — the per-symbol loop this replaced was ~10x slower.
-    2-byte symbols resolve through a direct 65536-entry code LUT (their
-    candidate set is the largest; no searchsorted at all). Longer classes
-    compare as big-endian integer keys gathered sparsely from the
-    rolling-key array."""
-    if L == 2:
-        cand = cand[~taken[cand]]
-        if len(cand) == 0:
-            return cand, cand
-        code_lut = np.full(65536, -1, dtype=np.int16)
-        for c, s in syms:
-            code_lut[(int(s[0]) << 8) | int(s[1])] = c
-        codes = code_lut[(h4[cand] >> np.uint32(16))]
-        ok = ~taken[cand + 1]
-        return _drop_overlaps(cand[ok], codes[ok], 2)
-    cand = cand[cand <= n - L]
-    if len(cand) == 0:
-        return cand, cand
-    cand = cand[~taken[cand]]
-    if len(cand) == 0:
-        return cand, cand
-    if L == 3:
-        keys = (h4[cand] >> np.uint32(8)).astype(np.uint64)
-    elif L == 4:
-        keys = h4[cand].astype(np.uint64)
-    else:
-        keys = ((h4[cand].astype(np.uint64) << np.uint64(8 * (L - 4)))
-                | (h4[cand + 4].astype(np.uint64) >> np.uint64(8 * (8 - L))))
-    sym_keys = np.array([int.from_bytes(bytes(s), "big") for _, s in syms],
-                        dtype=np.uint64)
-    sym_codes = np.array([c for c, _ in syms], dtype=np.int16)
-    hit, codes = _exact_membership(sym_keys, sym_codes, keys)
-    pos = cand[hit]
-    ok = np.ones(len(pos), dtype=bool)
-    for j in range(1, L):
-        ok &= ~taken[pos + j]
-    return _drop_overlaps(pos[ok], codes[ok], L)
+class CompiledTable:
+    """A symbol table with every compress-side constant precomputed ONCE:
+    the 2-byte-prefix class LUT, the 4-byte-prefix membership hash, the
+    per-class full-key membership hashes, the 2-byte code LUT, the
+    single-byte map and the serialized header. compress() previously
+    rebuilt all of these per call — per row group under the stripe
+    writer's shared-table cache — which was ~25% of the whole FSST cost
+    on transcripts text. Matching decisions and output bytes are
+    IDENTICAL to the uncompiled path (pytest pins compress(list) ==
+    compress(compiled))."""
 
+    __slots__ = ("table", "header", "single_map", "classes", "lut16",
+                 "member", "code_lut2", "has_multi")
 
-def compress(data: bytes, table: list[bytes] | None = None) -> bytes:
-    if table is None:
-        table = train(data)
-    arr = np.frombuffer(data, dtype=np.uint8)
-    n = len(arr)
-    header = bytearray()
-    header.append(len(table))
-    header += bytes(len(s) for s in table)
-    header += b"".join(table)
-
-    if n == 0:
-        header += (0).to_bytes(4, "little")
-        return bytes(header)
-
-    taken = np.zeros(n, dtype=bool)
-    code_at = np.full(n, -1, dtype=np.int16)  # symbol code starting here
-    multi = [(c, np.frombuffer(s, dtype=np.uint8)) for c, s in enumerate(table) if len(s) >= 2]
-    single = {s[0]: c for c, s in enumerate(table) if len(s) == 1}
-    if multi and n >= 2:
-        h4 = _rolling_keys4(arr)
+    def __init__(self, table: list[bytes]):
+        self.table = list(table)
+        self.header = (bytes([len(table)])
+                       + bytes(len(s) for s in table) + b"".join(table))
+        self.single_map = np.full(256, -1, dtype=np.int16)
+        for c, s in enumerate(table):
+            if len(s) == 1:
+                self.single_map[s[0]] = c
         by_len: dict[int, list] = {}
-        for c, s in multi:
-            by_len.setdefault(len(s), []).append((c, s))
-        cand_by_len = _candidate_scan(h4, n, by_len)
-        # longest length class first; within a class all symbols match in
-        # one vector pass (leftmost-first tie-break instead of the old
-        # per-symbol gain order — same format, ratio within noise)
-        for L in sorted(by_len, reverse=True):
-            pos, codes = _match_length_class(h4, n, cand_by_len[L],
-                                             taken, by_len[L], L)
+        for c, s in enumerate(table):
+            if len(s) >= 2:
+                by_len.setdefault(len(s), []).append((c, s))
+        self.classes = sorted(by_len, reverse=True)
+        self.has_multi = bool(self.classes)
+        self.lut16 = np.zeros(65536, dtype=np.uint8)
+        for ci, L in enumerate(self.classes):
+            bit = 1 << ci
+            for _, s in by_len[L]:
+                self.lut16[(int(s[0]) << 8) | int(s[1])] |= bit
+        self.member: dict[int, _Membership] = {}
+        self.code_lut2 = None
+        for L, syms in by_len.items():
+            if L == 2:
+                self.code_lut2 = np.full(65536, -1, dtype=np.int16)
+                for c, s in syms:
+                    self.code_lut2[(int(s[0]) << 8) | int(s[1])] = c
+            else:
+                sym_keys = np.array(
+                    [int.from_bytes(bytes(s), "big") for _, s in syms],
+                    dtype=np.uint64)
+                sym_codes = np.array([c for c, _ in syms], dtype=np.int16)
+                self.member[L] = _Membership(sym_keys, sym_codes)
+
+    def match_all(self, h4: np.ndarray, n: int, taken: np.ndarray,
+                  code_at: np.ndarray) -> None:
+        """Greedy longest-class-first matching over the whole stream, in
+        one vector pass per length class. The 65536-entry LUT on the
+        leading two bytes yields each class's candidate positions (exact
+        key for 2/3-byte classes, prefilter for >=4); candidates already
+        covered by a longer match are dropped BEFORE the exact full-key
+        probe (the earlier shape probed the 4-byte-prefix union of all
+        long classes first, before any taken-filtering — on repetitive
+        text that union is ~2/3 of all positions, most of them already
+        taken by then). Match set and output bytes are IDENTICAL to the
+        previous per-phase shape (pinned by the roundtrip + equivalence
+        tests); measured ~1.5x on transcripts text."""
+        m = self.lut16[(h4 >> np.uint32(16))[: n - 1]]
+        candall = np.flatnonzero(m).astype(np.int32, copy=False)
+        mall = m[candall]
+        for ci, L in enumerate(self.classes):
+            cand = candall[(mall & (1 << ci)) != 0]
+            if L >= 3:
+                cand = cand[cand <= n - L]
+            if len(cand) == 0:
+                continue
+            cand = cand[~taken[cand]]
+            if len(cand) == 0:
+                continue
+            if L == 2:
+                codes = self.code_lut2[(h4[cand] >> np.uint32(16))]
+                ok = ~taken[cand + 1]
+                pos, codes = _drop_overlaps(cand[ok], codes[ok], 2)
+            else:
+                if L == 3:
+                    keys = (h4[cand] >> np.uint32(8)).astype(np.uint64)
+                elif L == 4:
+                    keys = h4[cand].astype(np.uint64)
+                else:
+                    keys = ((h4[cand].astype(np.uint64)
+                             << np.uint64(8 * (L - 4)))
+                            | (h4[cand + 4].astype(np.uint64)
+                               >> np.uint64(8 * (8 - L))))
+                hit, codes = self.member[L].probe(keys)
+                pos = cand[hit]
+                ok = np.ones(len(pos), dtype=bool)
+                for j in range(1, L):
+                    ok &= ~taken[pos + j]
+                pos, codes = _drop_overlaps(pos[ok], codes[ok], L)
             if len(pos) == 0:
                 continue
             code_at[pos] = codes
             for j in range(L):
                 taken[pos + j] = True
 
+
+def compile_table(table: list[bytes]) -> CompiledTable:
+    """Precompile a symbol table for repeated compress() calls (the stripe
+    writer shares one table across a partition's row groups)."""
+    return CompiledTable(table)
+
+
+def compress(data: bytes,
+             table: list[bytes] | CompiledTable | None = None) -> bytes:
+    if table is None:
+        table = train(data)
+    ct = table if isinstance(table, CompiledTable) else CompiledTable(table)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return ct.header + (0).to_bytes(4, "little")
+
+    taken = np.zeros(n, dtype=bool)
+    code_at = np.full(n, -1, dtype=np.int16)  # symbol code starting here
+    if ct.has_multi and n >= 2:
+        # longest length class first; within a class all symbols match in
+        # one vector pass (leftmost-first tie-break instead of the old
+        # per-symbol gain order — same format, ratio within noise)
+        ct.match_all(_rolling_keys4(arr), n, taken, code_at)
+
     # classify remaining bytes
     free = np.flatnonzero(~taken).astype(np.int32, copy=False)
     free_b = arr[free]
-    single_map = np.full(256, -1, dtype=np.int16)
-    for b, c in single.items():
-        single_map[b] = c
-    free_codes = single_map[free_b]
+    free_codes = ct.single_map[free_b]
     is_single = free_codes >= 0
 
-    # merge symbol starts and free bytes into one token list (both sorted);
-    # offsets come from a cumsum over tokens, not over every source byte
+    # per-position output lengths -> one cumsum gives every token's output
+    # offset directly (replaces the old searchsorted token merge; bytes
+    # identical): symbol starts and single-coded bytes emit 1, escaped
+    # bytes 2, covered non-start positions 0
     starts = np.flatnonzero(code_at >= 0).astype(np.int32, copy=False)
-    m_starts, m_free = len(starts), len(free)
-    m = m_starts + m_free
-    start_slots = np.searchsorted(free, starts).astype(np.int32) \
-        + np.arange(m_starts, dtype=np.int32)
-    free_mask = np.ones(m, dtype=bool)
-    free_mask[start_slots] = False
-    lens = np.ones(m, dtype=np.int32)
-    lens[free_mask] = np.where(is_single, np.int32(1), np.int32(2))
-    dst = np.empty(m, dtype=np.int32)
+    lens = np.zeros(n, dtype=np.int32)
+    lens[free] = np.where(is_single, np.int32(1), np.int32(2))
+    lens[starts] = 1
+    dst = np.empty(n + 1, dtype=np.int32)
     dst[0] = 0
-    np.cumsum(lens[:-1], out=dst[1:])
-    out_len = int(dst[-1]) + int(lens[-1])
+    np.cumsum(lens, out=dst[1:])
+    out_len = int(dst[n])
     out = np.empty(out_len, dtype=np.uint8)
-    out[dst[start_slots]] = code_at[starts].astype(np.uint8)
-    free_dst = dst[free_mask]
+    out[dst[starts]] = code_at[starts].astype(np.uint8)
+    free_dst = dst[free]
     out[free_dst[is_single]] = free_codes[is_single].astype(np.uint8)
     esc_dst = free_dst[~is_single]
     out[esc_dst] = ESCAPE
     out[esc_dst + 1] = free_b[~is_single]
 
-    header += out_len.to_bytes(4, "little")
-    return bytes(header) + out.tobytes()
+    return ct.header + out_len.to_bytes(4, "little") + out.tobytes()
 
 
 def decompress(blob: bytes) -> bytes:

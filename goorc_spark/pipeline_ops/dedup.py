@@ -11,6 +11,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan-out parallelism guard (guide §2.5 input shape): the ops below
+    explode each document into hundreds of shingle/token rows, so the
+    pre-shuffle stage's width must reflect POST-explode volume. A small
+    parquet input scans as 1-2 partitions and pins the whole
+    explode+hash stage to that many cores (measured: the sf0.1 corpus is
+    one 1.5 MB file -> every doc-side map stage ran on <=2 of 32 cores).
+    Round-robin to defaultParallelism ONLY when the input has fewer
+    partitions — at cluster scale inputs already exceed it and no shuffle
+    is added; results are partitioning-independent (aggregations and
+    equi-joins downstream)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _bucket_pairs(banded: DataFrame, keys: list[str],
                   payload: list[str], pair_builder) -> DataFrame:
     """Exact candidate pairs per bucket as a bucket-key SELF-JOIN: both
@@ -111,7 +129,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
     over int arrays it is 11s."""
     from pyspark.sql import Window
 
-    tok = docs.select(
+    tok = _spread(docs).select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s"))
     dct = tok.select("s").distinct() \
         .withColumn("sid", F.row_number().over(Window.orderBy("s")))
@@ -172,7 +190,7 @@ def minhash_signatures(docs: DataFrame, k: int = 12, shingle: int = 6) -> DataFr
     one-md5-per-permutation form. One pass over exploded distinct shingles,
     k min-aggregates with map-side combine; the shuffle carries k x 8-byte
     partial minima per doc."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id", F.explode(_shingles(F.col("text"), shingle)).alias("s"))
     h = F.md5(F.encode("s", "utf-8"))
     hh = sh.select(
@@ -237,7 +255,7 @@ def simhash(docs: DataFrame, hash: str = "md5") -> DataFrame:
     op (and simhash_near_dup) behind the DuckDB oracle gate instead of a
     rows-only check. hash="xxh64": the cheap JVM hash for production runs
     where cross-engine reproducibility isn't needed."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -411,12 +429,23 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     n-gram set is tiny (eval sets are MBs), so it is explicitly
     `broadcast()` — the corpus side is a narrow shingle explode + broadcast
     semi-join + anti-join on hit doc_ids; the full corpus is never
-    shuffled. Returns the KEPT rows of `docs`."""
+    shuffled. Returns the KEPT rows of `docs`.
+
+    The corpus side STREAMS its shingles (explode a position sequence,
+    substr per position) instead of materializing the per-doc shingle
+    array and array_distinct-ing it: duplicates cannot change the hit set
+    (hits are distinct doc_ids), and the array + per-doc hash set were
+    ~2x the corpus-side cost at 32-char grams. left_semi emits each
+    (doc_id, gram) at most once into the distinct. Hit set, and therefore
+    the result, is identical."""
     bench_sh = benchmark.select(
         F.explode(_shingles(F.col("text"), n)).alias("s")).distinct()
-    doc_sh = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s"))
-    hits = doc_sh.join(F.broadcast(bench_sh), "s") \
+    npos = F.greatest(F.length("text") - F.lit(n - 1), F.lit(1))
+    doc_sh = _spread(docs).select(
+        "doc_id", F.col("text"),
+        F.explode(F.sequence(F.lit(1), npos)).alias("i")
+    ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(n)).alias("s"))
+    hits = doc_sh.join(F.broadcast(bench_sh), "s", "left_semi") \
         .select("doc_id").distinct()
     return docs.join(hits, "doc_id", "left_anti")
 

@@ -211,7 +211,10 @@ def _with_cell(df: DataFrame, cent_rows: list, vid_t,
     array_min over (d2, cid) structs — the same (d2, cid) lexicographic
     tie-break the old window row_number used. dot(e,e) is computed once in
     a temp column so the interpreted fold doesn't run once per centroid."""
-    tmp = df.withColumn("__dee", _dot(F.col("embedding"), F.col("embedding")))
+    from goorc_spark.pipeline_ops.dedup import _spread
+
+    tmp = _spread(df).withColumn(
+        "__dee", _dot(F.col("embedding"), F.col("embedding")))
     entries = []
     for cid, cvec in cent_rows:
         d2 = F.round(F.col("__dee")
@@ -245,8 +248,10 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
         return e.select("vec_id",
                         F.lit(None).cast("double").alias("cosine")) \
             .filter(F.lit(False))
+    from goorc_spark.pipeline_ops.dedup import _spread
+
     ql = _lit_vec(qe)
-    scored = e.select(
+    scored = _spread(e).select(
         "vec_id",
         F.round(_dot(F.col("embedding"), ql)
                 / (_norm(F.col("embedding")) * _norm(ql)), 6).alias("cosine"),
@@ -268,6 +273,9 @@ def hyperplane_buckets(embeddings: DataFrame, anchor_ids=(1, 2, 3, 4)) -> DataFr
     if not anchors:  # old inner join against an empty bits frame: no rows
         return embeddings.withColumn(
             "bucket", F.lit(None).cast("int")).filter(F.lit(False))
+    from goorc_spark.pipeline_ops.dedup import _spread
+
+    embeddings = _spread(embeddings)
     bucket = None
     for aid, avec in anchors:
         term = F.when(_dot(F.col("embedding"), _lit_vec(avec)) >= 0,

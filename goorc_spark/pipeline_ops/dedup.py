@@ -29,6 +29,11 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# banded sides below this Catalyst estimate get the explicit pair-expansion
+# width floor; above it AQE's own sizing (and skew-join splitting) applies
+_PAIR_WIDTH_FLOOR_BYTES = 1 << 30
+
+
 def _bucket_pairs(banded: DataFrame, keys: list[str],
                   payload: list[str], pair_builder) -> DataFrame:
     """Exact candidate pairs per bucket as a bucket-key SELF-JOIN: both
@@ -48,8 +53,29 @@ def _bucket_pairs(banded: DataFrame, keys: list[str],
     regime switch, and has no per-bucket memory at all.
 
     `payload` = column names carried per member (must include doc_id);
-    `pair_builder(x, y)` builds the output struct from two member structs."""
+    `pair_builder(x, y)` builds the output struct from two member structs.
+
+    Width floor for SMALL inputs (guide §2.5): AQE sizes the pre-join
+    exchange from the BANDED rows' bytes, but the self-join explodes them
+    ~100-200x (sf0.1: 45k banded rows -> 8.4M candidate pairs), so a
+    ~2 MB banded set coalesces to 1-2 partitions and the whole pair
+    expansion runs on as many cores. When the Catalyst estimate says the
+    banded side is small (< _PAIR_WIDTH_FLOOR_BYTES), repartition it by
+    the bucket key to defaultParallelism — every partition trivially fits
+    memory at that size, so the AQE skew-split this explicit partitioning
+    bypasses has nothing to do. LARGE inputs keep the planner's
+    ENSURE_REQUIREMENTS exchange untouched: AQE coalescing is then sized
+    correctly and skew-join splitting stays available for degenerate
+    buckets."""
     m = banded.select(*keys, F.struct(*payload).alias("m"))
+    try:
+        est = int(m._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes())
+    except Exception:
+        est = None
+    if est is not None and est < _PAIR_WIDTH_FLOOR_BYTES:
+        m = m.repartition(
+            m.sparkSession.sparkContext.defaultParallelism, *keys)
     a, b = m.alias("a"), m.alias("b")
     cond = F.col("a.m.doc_id") < F.col("b.m.doc_id")
     for k in keys:

@@ -1225,19 +1225,28 @@ def read_orc_files(spark, path: str, columns: list[str] | None = None):
     per task, memory bounded by file size (ORC files at 10^12-turn scale
     are written stripe-sized; a splittable variant would read byte ranges
     per stripe via the same parse_tail offsets)."""
+    import glob as _glob
+
     from pyspark.sql.pandas.types import from_arrow_schema
 
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 
-    # schema from one file's TAIL only — the driver never decodes data
-    # (binaryFile row limit(1) still ships one whole file's bytes to the
-    # driver; for tail-only planning at big-file scale use
-    # read_orc_stripes, which opens paths directly)
-    first = files.limit(1).collect()
-    if not first:
-        raise ValueError(f"no files under {path}")
-    _, footer = parse_tail(bytes(first[0].content))
+    # schema from one file's TAIL only — the driver never decodes data.
+    # When the glob resolves on the driver's filesystem (local/NFS — the
+    # same assumption read_orc_stripes makes), read just the tail bytes
+    # directly: this removes a whole Spark job (binaryFile limit(1)
+    # listing + shipping one ENTIRE file's bytes to the driver) from
+    # every scan. Non-local paths keep the binaryFile fallback.
+    local = sorted(_glob.glob(path))
+    if local:
+        with open(local[0], "rb") as f:
+            _, footer, _stats = _read_tail_from_file(f)
+    else:
+        first = files.limit(1).collect()
+        if not first:
+            raise ValueError(f"no files under {path}")
+        _, footer = parse_tail(bytes(first[0].content))
     types0 = footer["types"]
     include0 = _include_ids(types0, columns)
     root0 = types0[0]
@@ -1245,6 +1254,45 @@ def read_orc_files(spark, path: str, columns: list[str] | None = None):
         [(n, _arrow_type(types0, c))
          for n, c in zip(root0["field_names"], root0["subtypes"])
          if include0 is None or c in include0]))
+    if local:
+        # tasks open their paths directly (the read_orc_stripes model):
+        # no file bytes ship through binaryFile/JVM/Arrow, and the task
+        # COUNT is sized like Spark's own split packing — per-task bytes
+        # = clamp(total/defaultParallelism, 4 MB, 128 MB), files packed
+        # greedily (never split). Big files keep one task per file; a
+        # directory of small files packs into few tasks instead of paying
+        # the ~7 ms python-worker round-trip per file (measured: 32 tiny
+        # files as 32 tasks = 0.36 s of pure task overhead on a 0.22 s
+        # job floor).
+        import os as _os
+
+        sizes = [(_os.path.getsize(p), p) for p in local]
+        total = sum(s for s, _ in sizes)
+        par = spark.sparkContext.defaultParallelism
+        per_task = min(max(total // max(par, 1), 4 << 20), 128 << 20)
+        n_tasks = max(1, min(len(local),
+                             (total + per_task - 1) // per_task))
+        bins: list[tuple[int, list[str]]] = [(0, []) for _ in range(n_tasks)]
+        for s, p in sorted(sizes, reverse=True):  # largest-first greedy
+            i = min(range(n_tasks), key=lambda j: bins[j][0])
+            bins[i] = (bins[i][0] + s, bins[i][1] + [p])
+        groups = [(paths,) for _, paths in bins if paths]
+        # exact one-group-per-slice parallelize: no repartition stage
+        paths_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(groups, len(groups)),
+            "paths array<string>")
+
+        def _decode_paths(iterator):
+            for batch in iterator:
+                for paths in batch.column(0).to_pylist():
+                    for p in paths:
+                        with open(p, "rb") as f:
+                            blob = f.read()
+                        for b in read_orc(blob, columns).to_batches():
+                            yield b
+
+        return paths_df.mapInArrow(_decode_paths, schema)
+
     files = files.select("content")
 
     def _decode(iterator):

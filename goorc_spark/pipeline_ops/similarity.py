@@ -160,6 +160,37 @@ def _lit_vec(vec) -> "F.Column":
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+# SQL-string twins of the literal-vector expressions: building a 64-element
+# literal array through the Column DSL costs ~500 py4j round trips (~0.9 s
+# per assignment expression measured); one F.expr() call parses the same
+# tree JVM-side in milliseconds. repr(float) is shortest-roundtrip, and
+# cast(string as double) parses with Java's correctly-rounded
+# Double.parseDouble, so every literal is the identical double. Used only
+# when the active dot impl is the SQL fold (the pandas impl is a UDF the
+# SQL string cannot name); outputs are pinned identical across impls.
+
+
+def _dlit(v) -> str:
+    return f"cast('{repr(float(v))}' as double)"
+
+
+def _sql_vec(vec) -> str:
+    return "array(" + ",".join(_dlit(v) for v in vec) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL text of _dot's fold: zip_with cast-multiply, left fold from 0.0
+    — the same expression tree the Column DSL builds."""
+    return (f"aggregate(zip_with({a}, {b}, (a, b) -> cast(a as double) * "
+            f"cast(b as double)), cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def _sql_exprs_active() -> bool:
+    impl = _ACTIVE_IMPL if _ACTIVE_IMPL is not None else \
+        ("sql" if _DOT_IMPL == "auto" else _DOT_IMPL)
+    return impl != "pandas"
+
+
 def _py_dot(a, b) -> float:
     """Left-to-right double fold — bit-identical to the SQL/DuckDB
     aggregate(zip_with(...)) dot on the same values."""
@@ -180,6 +211,23 @@ def _round6(x: float) -> float:
         return x
     return float(decimal.Decimal(repr(x)).quantize(
         decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+
+
+def _query_cos(qe: list) -> "F.Column":
+    """round(dot(e, q) / (norm(e) * norm(q)), 6) against a literal query
+    vector — SQL-string form when the fold impl is active (one expr()
+    parse instead of ~130 py4j literal calls); norm(q) folds to the same
+    double driver-side (_py_dot identity), so sqrt sees the same value."""
+    if _sql_exprs_active():
+        qq = _py_dot(qe, qe)
+        return F.expr(
+            f"round({_sql_dot('embedding', _sql_vec(qe))} / "
+            f"(sqrt({_sql_dot('embedding', 'embedding')}) * "
+            f"sqrt({_dlit(qq)})), 6)")
+    ql = _lit_vec(qe)
+    return F.round(_dot(F.col("embedding"), ql)
+                   / (_norm(F.col("embedding")) * _norm(ql)), 6)
 
 
 def _vid_type(embeddings: DataFrame):
@@ -213,7 +261,21 @@ def _with_cell(df: DataFrame, cent_rows: list, vid_t,
     a temp column so the interpreted fold doesn't run once per centroid."""
     from goorc_spark.pipeline_ops.dedup import _spread
 
-    tmp = _spread(df).withColumn(
+    df = _spread(df)
+    if _sql_exprs_active():
+        entries = []
+        for cid, cvec in cent_rows:
+            d2 = (f"round(__dee - 2 * "
+                  f"{_sql_dot('embedding', _sql_vec(cvec))} + "
+                  f"{_dlit(_py_dot(cvec, cvec))}, 6)")
+            entries.append(f"named_struct('d2', {d2}, 'cid', "
+                           f"cast({int(cid)} as {vid_t.simpleString()}))")
+        return df.withColumn(
+            "__dee", F.expr(_sql_dot("embedding", "embedding"))) \
+            .withColumn(out, F.expr(
+                f"array_min(array({','.join(entries)})).cid")) \
+            .drop("__dee")
+    tmp = df.withColumn(
         "__dee", _dot(F.col("embedding"), F.col("embedding")))
     entries = []
     for cid, cvec in cent_rows:
@@ -250,12 +312,8 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
             .filter(F.lit(False))
     from goorc_spark.pipeline_ops.dedup import _spread
 
-    ql = _lit_vec(qe)
     scored = _spread(e).select(
-        "vec_id",
-        F.round(_dot(F.col("embedding"), ql)
-                / (_norm(F.col("embedding")) * _norm(ql)), 6).alias("cosine"),
-    )
+        "vec_id", _query_cos(qe).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
@@ -276,6 +334,14 @@ def hyperplane_buckets(embeddings: DataFrame, anchor_ids=(1, 2, 3, 4)) -> DataFr
     from goorc_spark.pipeline_ops.dedup import _spread
 
     embeddings = _spread(embeddings)
+    if _sql_exprs_active():
+        terms = " + ".join(
+            f"(case when {_sql_dot('embedding', _sql_vec(avec))} >= 0 "
+            f"then {_dlit(2.0 ** (int(aid) - 1))} "
+            f"else cast(0.0 as double) end)"
+            for aid, avec in anchors)
+        return embeddings.withColumn(
+            "bucket", F.expr(f"cast(({terms}) as int)"))
     bucket = None
     for aid, avec in anchors:
         term = F.when(_dot(F.col("embedding"), _lit_vec(avec)) >= 0,
@@ -303,14 +369,10 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     qbucket = int(sum(float(2.0 ** (int(aid) - 1))
                       for aid, avec in anchors
                       if _py_dot(qe, avec) >= 0))
-    ql = _lit_vec(qe)
     cand = b.filter((F.col("bucket") == qbucket)
                     & (F.col("vec_id") != query_vec_id))
     scored = cand.select(
-        "vec_id", "bucket",
-        F.round(_dot(F.col("embedding"), ql)
-                / (_norm(F.col("embedding")) * _norm(ql)), 6).alias("cosine"),
-    )
+        "vec_id", "bucket", _query_cos(qe).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
@@ -350,15 +412,11 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
             "vec_id", F.col("vec_id").cast(vid_t).alias("cell"),
             F.lit(None).cast("double").alias("cosine")).filter(F.lit(False))
     cells = _probe_cells(qe, rows, nprobe)
-    ql = _lit_vec(qe)
     cand = _with_cell(embeddings, rows, vid_t) \
         .filter(F.col("cell").isin(cells)
                 & (F.col("vec_id") != query_vec_id))
     scored = cand.select(
-        "vec_id", "cell",
-        F.round(_dot(F.col("embedding"), ql)
-                / (_norm(F.col("embedding")) * _norm(ql)), 6)
-         .alias("cosine"))
+        "vec_id", "cell", _query_cos(qe).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
@@ -468,15 +526,11 @@ def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
                 F.lit(None).cast("double").alias("cosine")) \
                 .filter(F.lit(False))
         cells = _probe_cells(qe, rows, nprobe)
-        ql = _lit_vec(qe)
         cand = _with_cell(embeddings, rows, vid_t) \
             .filter(F.col("cell").isin(cells)
                     & (F.col("vec_id") != query_vec_id))
         scored = cand.select(
-            "vec_id", "cell",
-            F.round(_dot(F.col("embedding"), ql)
-                    / (_norm(F.col("embedding")) * _norm(ql)), 6)
-             .alias("cosine"))
+            "vec_id", "cell", _query_cos(qe).alias("cosine"))
         return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 

@@ -205,16 +205,6 @@ def test_spread_noop_when_wide(spark):
     assert _spread(narrow).rdd.getNumPartitions() == par
 
 
-@pytest.fixture(scope="module")
-def spark():
-    from pyspark.sql import SparkSession
-
-    s = (SparkSession.builder.master("local[4]")
-         .appName("r06_opt_tests")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.ui.enabled", "false")
-         .config("spark.ui.showConsoleProgress", "false")
-         .getOrCreate())
-    yield s
-    s.stop()
+# uses the session-scoped `spark` fixture from tests/conftest.py — a
+# module-local fixture calling stop() would kill the SHARED SparkContext
+# that getOrCreate() returns and break every later test module

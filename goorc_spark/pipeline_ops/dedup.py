@@ -29,9 +29,10 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-# banded sides below this Catalyst estimate get the explicit pair-expansion
-# width floor; above it AQE's own sizing (and skew-join splitting) applies
-_PAIR_WIDTH_FLOOR_BYTES = 1 << 30
+# banded sides below this Catalyst estimate take the broadcast pair
+# expansion (skew-proof for single hot buckets); above it the shuffled
+# self-join with AQE sizing and partition-level skew split applies
+_PAIR_BROADCAST_BYTES = 256 << 20
 
 
 def _bucket_pairs(banded: DataFrame, keys: list[str],
@@ -55,28 +56,36 @@ def _bucket_pairs(banded: DataFrame, keys: list[str],
     `payload` = column names carried per member (must include doc_id);
     `pair_builder(x, y)` builds the output struct from two member structs.
 
-    Width floor for SMALL inputs (guide §2.5): AQE sizes the pre-join
-    exchange from the BANDED rows' bytes, but the self-join explodes them
-    ~100-200x (sf0.1: 45k banded rows -> 8.4M candidate pairs), so a
-    ~2 MB banded set coalesces to 1-2 partitions and the whole pair
-    expansion runs on as many cores. When the Catalyst estimate says the
-    banded side is small (< _PAIR_WIDTH_FLOOR_BYTES), repartition it by
-    the bucket key to defaultParallelism — every partition trivially fits
-    memory at that size, so the AQE skew-split this explicit partitioning
-    bypasses has nothing to do. LARGE inputs keep the planner's
-    ENSURE_REQUIREMENTS exchange untouched: AQE coalescing is then sized
-    correctly and skew-join splitting stays available for degenerate
-    buckets."""
+    Broadcast pair expansion for SMALL banded sides (guide §2.5/§3.1):
+    AQE sizes the pre-join exchange from the BANDED rows' bytes, but the
+    self-join explodes them ~100-200x (sf0.1: 45k banded rows -> 8.4M
+    candidate pairs), so a ~2 MB banded set coalesces to 1-2 post-shuffle
+    partitions and the pair expansion runs near-serially — and a
+    DEGENERATE bucket (mass-duplicated docs, the rotation-invariant x10
+    copies) is a single hot KEY, which neither hash partitioning nor
+    AQE's skew split can spread (skew split divides oversized partitions,
+    never one key). When the Catalyst estimate says the banded side is
+    small (< _PAIR_BROADCAST_BYTES), BROADCAST it and round-robin the
+    probe side to defaultParallelism: every probe partition holds an even
+    slice of each bucket — including the hot one — so the quadratic
+    expansion of a degenerate bucket parallelizes across all cores
+    (measured at the x10 growth shape: the keyed-width variant pinned a
+    2k-member bucket's ~2M-pair expansion to one task). LARGE inputs keep
+    the planner's ENSURE_REQUIREMENTS shuffled join: exchange reuse
+    computes the banded side once, AQE sizing applies, and partition-level
+    skew split stays available."""
     m = banded.select(*keys, F.struct(*payload).alias("m"))
     try:
         est = int(m._jdf.queryExecution().optimizedPlan().stats()
                   .sizeInBytes())
     except Exception:
         est = None
-    if est is not None and est < _PAIR_WIDTH_FLOOR_BYTES:
-        m = m.repartition(
-            m.sparkSession.sparkContext.defaultParallelism, *keys)
-    a, b = m.alias("a"), m.alias("b")
+    if est is not None and est < _PAIR_BROADCAST_BYTES:
+        a = m.repartition(
+            m.sparkSession.sparkContext.defaultParallelism).alias("a")
+        b = F.broadcast(m).alias("b")
+    else:
+        a, b = m.alias("a"), m.alias("b")
     cond = F.col("a.m.doc_id") < F.col("b.m.doc_id")
     for k in keys:
         cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond

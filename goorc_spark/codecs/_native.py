@@ -1,0 +1,702 @@
+"""Optional C fast path for the hottest codec kernels, loaded via ctypes.
+
+The numpy codec implementations in this package are the reference: this
+module only ACCELERATES them — every native entry point is byte-identical
+to its numpy twin (pinned by A/B fuzz tests in tests/test_native.py), and
+any failure to compile/load the shared object silently falls back to the
+numpy path, so environments without a C compiler lose speed, not
+correctness.
+
+The C source is embedded as a string (the bench ships the package to
+executors as a zip of .py files, so a checked-in .c file would not arrive);
+it is compiled once per machine into ``$TMPDIR/goorc_native_<hash>.so``
+keyed by the source hash, with an atomic rename so concurrent executor
+python workers race benignly. Set ``GOORC_NATIVE=0`` to disable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+static inline uint64_t load_be8(const uint8_t *p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return __builtin_bswap64(v);
+}
+
+#define HT_BITS 11
+#define HT_SIZE (1 << HT_BITS)
+#define HT_MASK (HT_SIZE - 1)
+#define MULT 0x9E3779B97F4A7C15ULL
+
+/* FSST greedy longest-class-first matcher + token emitter.
+
+   Exact semantics of fsst.CompiledTable.match_all + the numpy output
+   assembly in fsst.compress (see that file): per length class in
+   descending order, candidates are positions whose 2-byte prefix passes
+   the class LUT and whose exact L-byte key is a class symbol; candidates
+   with any byte already covered by a longer class are skipped WITHOUT
+   breaking the greedy chain; self-overlaps resolve leftmost-first.
+   `data` must be padded with >= 8 zero bytes past `n`. Returns the
+   number of output bytes written to `out` (capacity >= 2n). */
+int64_t fsst_compress(const uint8_t *data, int64_t n,
+                      const uint8_t *lut16,
+                      int32_t n_classes, const int32_t *class_len,
+                      const int32_t *class_off,
+                      const uint64_t *keys, const int16_t *codes,
+                      const int16_t *single_map, const uint8_t *sym_len,
+                      uint8_t *taken, int16_t *code_at, uint8_t *out)
+{
+    memset(taken, 0, (size_t)n);
+    memset(code_at, 0xFF, (size_t)n * 2);
+
+    uint64_t ht_key[HT_SIZE];
+    int16_t ht_code[HT_SIZE];
+    uint8_t ht_used[HT_SIZE];
+
+    for (int32_t ci = 0; ci < n_classes; ci++) {
+        int32_t L = class_len[ci];
+        if (n < L) continue;
+        uint8_t bit = (uint8_t)(1u << ci);
+        int sh = 8 * (8 - L);
+        memset(ht_used, 0, sizeof(ht_used));
+        for (int32_t s = class_off[ci]; s < class_off[ci + 1]; s++) {
+            uint64_t k = keys[s];
+            uint64_t h = (k * MULT) >> (64 - HT_BITS);
+            while (ht_used[h]) h = (h + 1) & HT_MASK;
+            ht_used[h] = 1;
+            ht_key[h] = k;
+            ht_code[h] = codes[s];
+        }
+        int64_t limit = n - L;
+        for (int64_t i = 0; i <= limit; ) {
+            if (taken[i]) { i++; continue; }  /* spans are <= 8 bytes:
+                                                 memchr skipping measured slower */
+            uint16_t pre = ((uint16_t)data[i] << 8) | data[i + 1];
+            if (!(lut16[pre] & bit)) { i++; continue; }
+            uint64_t key = load_be8(data + i) >> sh;
+            uint64_t h = (key * MULT) >> (64 - HT_BITS);
+            int16_t code = -1;
+            while (ht_used[h]) {
+                if (ht_key[h] == key) { code = ht_code[h]; break; }
+                h = (h + 1) & HT_MASK;
+            }
+            if (code < 0) { i++; continue; }
+            int ok = 1;
+            for (int32_t j = 1; j < L; j++)
+                if (taken[i + j]) { ok = 0; break; }
+            if (!ok) { i++; continue; }
+            code_at[i] = code;
+            memset(taken + i, 1, (size_t)L);
+            i += L;
+        }
+    }
+
+    int64_t o = 0;
+    for (int64_t i = 0; i < n; ) {
+        int16_t c = code_at[i];
+        if (c >= 0) {
+            out[o++] = (uint8_t)c;
+            i += sym_len[c];
+        } else {
+            int16_t s = single_map[data[i]];
+            if (s >= 0) { out[o++] = (uint8_t)s; }
+            else { out[o++] = 255; out[o++] = data[i]; }
+            i++;
+        }
+    }
+    return o;
+}
+
+/* ------------------------------------------------------------------ *
+ * ORC RLEv2 encoder — exact port of rlev2.encode/_encode_block and
+ * its sub-writers (see rlev2.py for the chooser rationale; byte
+ * identity pinned by tests/test_native.py fuzz + the ported goorc
+ * reference vectors). All percentile indices use the same IEEE double
+ * arithmetic as the numpy path.
+ * ------------------------------------------------------------------ */
+
+#include <math.h>
+
+#define MAX_RUN 512
+#define MIN_REPEAT 3
+#define MAX_SHORT_REPEAT 10
+#define MIN_DELTA_RUN 5
+#define SMALL_SEG 12  /* numpy path's scalar-twin cutoff; twins are
+                         byte-identical so the C port needs no split */
+
+#define E_SHORT_REPEAT 0
+#define E_DIRECT 1
+#define E_PATCHED 2
+#define E_DELTA 3
+
+static inline int bitlen64(uint64_t v) {
+    return v ? 64 - __builtin_clzll(v) : 0;
+}
+
+static const int ALIGNED_W[11] = {1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64};
+
+static inline int aligned_width(int w) {
+    for (int i = 0; i < 11; i++)
+        if (ALIGNED_W[i] >= w) return ALIGNED_W[i];
+    return 64;
+}
+
+static inline int closest_width(int w) {
+    if (w < 1) w = 1;
+    if (w <= 24) return w;
+    if (w <= 26) return 26;
+    if (w <= 28) return 28;
+    if (w <= 30) return 30;
+    if (w <= 32) return 32;
+    if (w <= 40) return 40;
+    if (w <= 48) return 48;
+    if (w <= 56) return 56;
+    return 64;
+}
+
+static inline int width_to_code(int w) {
+    if (w <= 24) return w - 1;
+    switch (w) {
+        case 26: return 24; case 28: return 25; case 30: return 26;
+        case 32: return 27; case 40: return 28; case 48: return 29;
+        case 56: return 30; default: return 31;
+    }
+}
+
+static inline uint64_t zz64(int64_t v) {
+    return ((uint64_t)v << 1) ^ (uint64_t)(v >> 63);
+}
+
+static inline int64_t put_uvarint(uint8_t *out, int64_t o, uint64_t u) {
+    while (u >= 0x80) { out[o++] = (uint8_t)(u & 0x7F) | 0x80; u >>= 7; }
+    out[o++] = (uint8_t)u;
+    return o;
+}
+
+static inline int64_t put_svarint(uint8_t *out, int64_t o, int64_t v) {
+    return put_uvarint(out, o, zz64(v));
+}
+
+/* MSB-first bit packing, zero-padded to a byte at the end (bitpack.pack) */
+static int64_t put_packed(uint8_t *out, int64_t o, const uint64_t *vals,
+                          int64_t count, int width) {
+    unsigned __int128 acc = 0;
+    int bits = 0;
+    uint64_t mask = width < 64 ? ((1ULL << width) - 1) : ~0ULL;
+    for (int64_t i = 0; i < count; i++) {
+        acc = (acc << width) | (vals[i] & mask);
+        bits += width;
+        while (bits >= 8) {
+            out[o++] = (uint8_t)(acc >> (bits - 8));
+            bits -= 8;
+        }
+    }
+    if (bits > 0)
+        out[o++] = (uint8_t)((uint64_t)(acc & ((1u << bits) - 1)) << (8 - bits));
+    return o;
+}
+
+/* histogram select: k-th smallest (0-based) of bit lengths in 1..64 */
+static inline int hist_kth(const int *hist, int k) {
+    int cum = 0;
+    for (int b = 0; b <= 64; b++) {
+        cum += hist[b];
+        if (cum > k) return b;
+    }
+    return 64;
+}
+
+static int64_t write_short_repeat(uint8_t *out, int64_t o, uint64_t raw,
+                                  int count, int signed_flag) {
+    uint64_t u = signed_flag ? zz64((int64_t)raw) : raw;
+    int nbytes = bitlen64(u) ? (bitlen64(u) + 7) / 8 : 1;
+    out[o++] = (uint8_t)((E_SHORT_REPEAT << 6) | ((nbytes - 1) << 3)
+                         | (count - MIN_REPEAT));
+    for (int b = nbytes - 1; b >= 0; b--)
+        out[o++] = (uint8_t)(u >> (8 * b));
+    return o;
+}
+
+static int64_t write_fixed_delta(uint8_t *out, int64_t o, uint64_t base,
+                                 int64_t delta, int count, int signed_flag) {
+    out[o++] = (uint8_t)((E_DELTA << 6) | (0 << 1) | ((count - 1) >> 8));
+    out[o++] = (uint8_t)((count - 1) & 0xFF);
+    o = signed_flag ? put_svarint(out, o, (int64_t)base)
+                    : put_uvarint(out, o, base);
+    return put_svarint(out, o, delta);
+}
+
+static int64_t write_var_delta(uint8_t *out, int64_t o, uint64_t base,
+                               const int64_t *deltas, int64_t nd,
+                               int signed_flag, uint64_t *scratch) {
+    int64_t count = nd + 1;
+    int w = 2;
+    if (nd > 1) {
+        uint64_t mx = 0;
+        for (int64_t i = 1; i < nd; i++) {
+            int64_t d = deltas[i];
+            uint64_t a = d < 0 ? (uint64_t)(-(uint64_t)d) : (uint64_t)d;
+            scratch[i - 1] = a;
+            if (a > mx) mx = a;
+        }
+        int bl = bitlen64(mx);
+        w = aligned_width(bl > 1 ? bl : 1);
+        if (w == 1) w = 2;
+    }
+    out[o++] = (uint8_t)((E_DELTA << 6) | (width_to_code(w) << 1)
+                         | ((count - 1) >> 8));
+    out[o++] = (uint8_t)((count - 1) & 0xFF);
+    o = signed_flag ? put_svarint(out, o, (int64_t)base)
+                    : put_uvarint(out, o, base);
+    o = put_svarint(out, o, deltas[0]);
+    if (nd > 1)
+        o = put_packed(out, o, scratch, nd - 1, w);
+    return o;
+}
+
+static int64_t write_direct(uint8_t *out, int64_t o, const uint64_t *block,
+                            int64_t n, int signed_flag, uint64_t *scratch) {
+    uint64_t mx = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t u = signed_flag ? zz64((int64_t)block[i]) : block[i];
+        scratch[i] = u;
+        if (u > mx) mx = u;
+    }
+    int bl = bitlen64(mx);
+    int w = aligned_width(bl > 1 ? bl : 1);
+    out[o++] = (uint8_t)((E_DIRECT << 6) | (width_to_code(w) << 1)
+                         | ((n - 1) >> 8));
+    out[o++] = (uint8_t)((n - 1) & 0xFF);
+    return put_packed(out, o, scratch, n, w);
+}
+
+/* try PATCHED_BASE; returns new offset on success, -1 on refusal
+   (nothing written on refusal) */
+static int64_t try_patched(uint8_t *out, int64_t o, const uint64_t *block,
+                           int64_t n, uint64_t *diff) {
+    int64_t base = (int64_t)block[0], hi = (int64_t)block[0];
+    for (int64_t i = 1; i < n; i++) {
+        int64_t v = (int64_t)block[i];
+        if (v < base) base = v;
+        if (v > hi) hi = v;
+    }
+    uint64_t range = (uint64_t)hi - (uint64_t)base;
+    if (range >= (1ULL << 62)) return -1;
+    int hist[65] = {0};
+    int w100 = 0;
+    for (int64_t i = 0; i < n; i++) {
+        diff[i] = (uint64_t)((int64_t)block[i] - base);
+        int b = bitlen64(diff[i]);
+        if (b < 1) b = 1;
+        hist[b]++;
+        if (b > w100) w100 = b;
+    }
+    int k = (int)ceil(0.9 * (double)n) - 1;
+    if (k < 0) k = 0;
+    int w90 = aligned_width(hist_kth(hist, k));
+    if (w100 <= w90) return -1;
+    /* gaps chained >255 with (255,0) fillers; >31 entries refuses */
+    int gaps[40], patches_n = 0;
+    uint64_t patches[40];
+    uint64_t pmax = 0;
+    int64_t prev = 0;
+    int first = 1;
+    for (int64_t i = 0; i < n; i++) {
+        int b = bitlen64(diff[i]);
+        if (b < 1) b = 1;
+        if (b <= w90) continue;
+        uint64_t pv = diff[i] >> w90;
+        if (pv > pmax) pmax = pv;
+        int64_t g = first ? i : i - prev;
+        first = 0;
+        prev = i;
+        while (g > 255) {
+            if (patches_n >= 32) return -1;
+            gaps[patches_n] = 255; patches[patches_n++] = 0;
+            g -= 255;
+        }
+        if (patches_n >= 32) return -1;
+        gaps[patches_n] = (int)g; patches[patches_n++] = pv;
+    }
+    if (patches_n > 31) return -1;
+    int bl = bitlen64(pmax);
+    int pw = closest_width(bl > 1 ? bl : 1);
+    int gmax = 0;
+    for (int i = 0; i < patches_n; i++)
+        if (gaps[i] > gmax) gmax = gaps[i];
+    int pgw = bitlen64((uint64_t)gmax);
+    if (pgw < 1) pgw = 1;
+    if (pgw + pw > 64) return -1;
+    uint64_t mag = base < 0 ? (uint64_t)(-(uint64_t)base) : (uint64_t)base;
+    int mb = bitlen64(mag);
+    int bw = (mb + 1 + 7) / 8;
+    if (bw < 1) bw = 1;
+    if (bw > 8) return -1;
+    out[o++] = (uint8_t)((E_PATCHED << 6) | (width_to_code(w90) << 1)
+                         | ((n - 1) >> 8));
+    out[o++] = (uint8_t)((n - 1) & 0xFF);
+    out[o++] = (uint8_t)(((bw - 1) << 5) | width_to_code(pw));
+    out[o++] = (uint8_t)(((pgw - 1) << 5) | patches_n);
+    for (int b = bw - 1; b >= 0; b--) {
+        uint8_t byte = (uint8_t)(mag >> (8 * b));
+        if (b == bw - 1 && base < 0) byte |= 0x80;
+        out[o++] = byte;
+    }
+    uint64_t wmask = w90 < 64 ? ((1ULL << w90) - 1) : ~0ULL;
+    for (int64_t i = 0; i < n; i++) diff[i] &= wmask;
+    o = put_packed(out, o, diff, n, w90);
+    uint64_t entries[40];
+    for (int i = 0; i < patches_n; i++)
+        entries[i] = ((uint64_t)gaps[i] << pw) | patches[i];
+    return put_packed(out, o, entries, patches_n, pgw + pw);
+}
+
+int64_t rlev2_encode(const uint64_t *v, int64_t n, int32_t signed_flag,
+                     uint8_t *out, int64_t *counts)
+{
+    int64_t o = 0;
+    if (n == 0) return 0;
+    int huge_unsigned = 0;
+    uint64_t vmax_all = 0;
+    if (!signed_flag) {
+        for (int64_t i = 0; i < n; i++)
+            if (v[i] > vmax_all) vmax_all = v[i];
+        huge_unsigned = vmax_all > (1ULL << 62);
+    }
+    uint64_t scratch[MAX_RUN];
+    int64_t d[MAX_RUN];
+    int64_t pos = 0;
+    while (pos < n) {
+        int64_t mark = o;
+        int64_t blk = n - pos < MAX_RUN ? n - pos : MAX_RUN;
+        const uint64_t *block = v + pos;
+        int64_t consumed;
+        if (blk == 1) {
+            o = write_direct(out, o, block, 1, signed_flag, scratch);
+            consumed = 1;
+            goto done;
+        }
+        /* wrapped int64 adjacent diffs (matches numpy int64 arithmetic) */
+        for (int64_t i = 0; i < blk - 1; i++)
+            d[i] = (int64_t)(block[i + 1] - block[i]);
+        {
+            int64_t r = 1;
+            while (r < blk && block[r] == block[0]) r++;
+            if (r >= MIN_REPEAT) {
+                if (r <= MAX_SHORT_REPEAT) {
+                    o = write_short_repeat(out, o, block[0], (int)r,
+                                           signed_flag);
+                } else {
+                    o = write_fixed_delta(out, o, block[0], 0, (int)r,
+                                          signed_flag);
+                }
+                consumed = r;
+                goto done;
+            }
+        }
+        {
+            uint64_t bmax = block[0];
+            if (huge_unsigned)
+                for (int64_t i = 1; i < blk; i++)
+                    if (block[i] > bmax) bmax = block[i];
+            int64_t d0 = d[0];
+            if (!(huge_unsigned && bmax > (1ULL << 62)) && d0 != 0) {
+                int64_t m = 1;
+                while (m < blk &&
+                       !((d0 > 0 && d[m - 1] < 0) ||
+                         (d0 < 0 && d[m - 1] > 0)))
+                    m++;
+                /* m = values in the monotone prefix */
+                if (m >= MIN_DELTA_RUN || (m == blk && m >= MIN_REPEAT)) {
+                    int64_t nd = m - 1;  /* deltas = d[0..nd-1] */
+                    int fixed = 1;
+                    for (int64_t i = 1; i < nd; i++)
+                        if (d[i] != d0) { fixed = 0; break; }
+                    if (fixed) {
+                        o = write_fixed_delta(out, o, block[0], d0, (int)m,
+                                              signed_flag);
+                        consumed = m;
+                        goto done;
+                    }
+                    if (m > MIN_DELTA_RUN + 1) {
+                        /* width-outlier split over absd = |d[1..nd-1]| */
+                        int hist[65] = {0};
+                        int maxb = 0;
+                        for (int64_t i = 1; i < nd; i++) {
+                            uint64_t a = d[i] < 0 ? (uint64_t)(-(uint64_t)d[i])
+                                                  : (uint64_t)d[i];
+                            int b = bitlen64(a);
+                            if (b < 1) b = 1;
+                            hist[b]++;
+                            if (b > maxb) maxb = b;
+                        }
+                        int w_full = aligned_width(maxb);
+                        int w90 = w_full;
+                        if (w_full > 8) {
+                            int len = (int)(nd - 1);
+                            int k = (int)(0.9 * (double)(len - 1));
+                            w90 = aligned_width(hist_kth(hist, k));
+                        }
+                        if (w_full > w90) {
+                            int64_t j = -1;
+                            for (int64_t i = 1; i < nd; i++) {
+                                uint64_t a = d[i] < 0
+                                    ? (uint64_t)(-(uint64_t)d[i])
+                                    : (uint64_t)d[i];
+                                int b = bitlen64(a);
+                                if (b < 1) b = 1;
+                                if (b > w90) { j = i; break; }
+                            }
+                            if ((int64_t)(w_full - w90) * (m - 1 - j) >= 128) {
+                                o = write_var_delta(out, o, block[0], d, j,
+                                                    signed_flag, scratch);
+                                consumed = j + 1;
+                                goto done;
+                            }
+                        }
+                    }
+                    o = write_var_delta(out, o, block[0], d, nd, signed_flag,
+                                        scratch);
+                    consumed = m;
+                    goto done;
+                }
+            }
+        }
+        if (signed_flag) {
+            int64_t po = try_patched(out, o, block, blk, scratch);
+            if (po >= 0) { o = po; consumed = blk; goto done; }
+        }
+        {
+            int64_t lit_n = blk;
+            int64_t ndiffs = blk - 1;
+            if (ndiffs >= MIN_DELTA_RUN) {
+                uint64_t zmax;
+                if (signed_flag) {
+                    int64_t mx = (int64_t)block[0], mn = (int64_t)block[0];
+                    for (int64_t i = 1; i < blk; i++) {
+                        int64_t x = (int64_t)block[i];
+                        if (x > mx) mx = x;
+                        if (x < mn) mn = x;
+                    }
+                    uint64_t a = zz64(mx), b = zz64(mn);
+                    zmax = a > b ? a : b;
+                } else {
+                    zmax = block[0];
+                    for (int64_t i = 1; i < blk; i++)
+                        if (block[i] > zmax) zmax = block[i];
+                }
+                int bl = bitlen64(zmax);
+                int direct_w = aligned_width(bl > 1 ? bl : 1);
+                if (direct_w > 8) {
+                    /* sign runs over d; first long run after the head */
+                    int64_t st = 0;
+                    int s0 = (d[0] > 0) - (d[0] < 0);
+                    for (int64_t i = 1; i <= ndiffs; i++) {
+                        int si = i < ndiffs ? (d[i] > 0) - (d[i] < 0) : 2;
+                        if (si == s0) continue;
+                        /* run [st, i) with sign s0 ends */
+                        if (st > 0) {
+                            int64_t rl = i - st;
+                            int long_mono = s0 != 0 && rl >= MIN_DELTA_RUN - 1;
+                            int long_flat = s0 == 0 && rl >= MIN_REPEAT;
+                            if (long_mono || long_flat) {
+                                int w_run = 0;
+                                if (!long_flat) {
+                                    int hist[65] = {0};
+                                    int maxb = 0;
+                                    for (int64_t q = st; q < i; q++) {
+                                        uint64_t a = d[q] < 0
+                                            ? (uint64_t)(-(uint64_t)d[q])
+                                            : (uint64_t)d[q];
+                                        int b = bitlen64(a);
+                                        if (b < 1) b = 1;
+                                        hist[b]++;
+                                        if (b > maxb) maxb = b;
+                                    }
+                                    w_run = aligned_width(maxb);
+                                    if (2 * w_run > direct_w) {
+                                        int len = (int)rl;
+                                        int k = (int)(0.9 * (double)(len - 1));
+                                        w_run = aligned_width(
+                                            hist_kth(hist, k));
+                                    }
+                                }
+                                if (2 * w_run <= direct_w)
+                                    lit_n = st;
+                                break;
+                            }
+                        }
+                        st = i;
+                        s0 = si;
+                    }
+                }
+            }
+            if (signed_flag && lit_n < blk) {
+                int64_t po = try_patched(out, o, block, lit_n, scratch);
+                if (po >= 0) { o = po; consumed = lit_n; goto done; }
+            }
+            o = write_direct(out, o, block, lit_n, signed_flag, scratch);
+            consumed = lit_n;
+        }
+    done:
+        counts[out[mark] >> 6]++;
+        pos += consumed;
+    }
+    return o;
+}
+"""
+
+_CC_CANDIDATES = ("cc", "gcc", "clang")
+_lib_cache: list = []  # [] = not attempted, [None] = failed, [CDLL] = loaded
+
+
+def _build(so_path: str) -> None:
+    src_dir = os.path.dirname(so_path)
+    fd, c_path = tempfile.mkstemp(suffix=".c", dir=src_dir)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(_SRC)
+        fd2, tmp_so = tempfile.mkstemp(suffix=".so", dir=src_dir)
+        os.close(fd2)
+        err = None
+        for cc in _CC_CANDIDATES:
+            try:
+                r = subprocess.run(
+                    [cc, "-O3", "-fPIC", "-shared", "-o", tmp_so, c_path,
+                     "-lm"],
+                    capture_output=True, timeout=120)
+                if r.returncode == 0:
+                    os.replace(tmp_so, so_path)
+                    return
+                err = r.stderr.decode(errors="replace")[-500:]
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(f"no C compiler produced {so_path}: {err}")
+    finally:
+        for p in (c_path, locals().get("tmp_so")):
+            if p and os.path.exists(p) and p != so_path:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+
+def lib():
+    """The loaded CDLL, or None when native acceleration is unavailable.
+    The first call compiles (or loads the cached .so); the result —
+    including failure — is cached for the life of the process."""
+    if _lib_cache:
+        return _lib_cache[0]
+    handle = None
+    try:
+        if os.environ.get("GOORC_NATIVE", "1") != "0":
+            h = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+            so_path = os.path.join(tempfile.gettempdir(), f"goorc_native_{h}.so")
+            if not os.path.exists(so_path):
+                _build(so_path)
+            cdll = ctypes.CDLL(so_path)
+            fn = cdll.fsst_compress
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                           ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_void_p]
+            fn = cdll.rlev2_encode
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                           ctypes.c_void_p, ctypes.c_void_p]
+            handle = cdll
+    except Exception:
+        handle = None
+    _lib_cache.append(handle)
+    return handle
+
+
+def fsst_compress(ct, arr: np.ndarray) -> bytes | None:
+    """Native twin of the numpy tokenize+emit in fsst.compress. `ct` is a
+    fsst.CompiledTable; `arr` the uint8 stream. Returns the encoded payload
+    bytes (without header/length prefix), or None when native is off."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    args = getattr(ct, "nat_args", None)
+    if args is None:
+        args = _compile_args(ct)
+        ct.nat_args = args
+    n = len(arr)
+    padded = np.zeros(n + 8, dtype=np.uint8)
+    padded[:n] = arr
+    taken = np.empty(n, dtype=np.uint8)
+    code_at = np.empty(n, dtype=np.int16)
+    out = np.empty(2 * n + 16, dtype=np.uint8)
+    (n_classes, class_len, class_off, keys, codes, single_map, sym_len,
+     lut16) = args
+    out_len = cdll.fsst_compress(
+        padded.ctypes.data, n, lut16.ctypes.data,
+        n_classes, class_len.ctypes.data, class_off.ctypes.data,
+        keys.ctypes.data, codes.ctypes.data, single_map.ctypes.data,
+        sym_len.ctypes.data, taken.ctypes.data, code_at.ctypes.data,
+        out.ctypes.data)
+    return out[:out_len].tobytes()
+
+
+_RLE_SUB_NAMES = ("short_repeat", "direct", "patched_base", "delta")
+
+
+def rlev2_encode(v: np.ndarray, signed: bool, info: dict | None) -> bytes | None:
+    """Native twin of rlev2.encode for an int64/uint64 vector. Returns the
+    encoded bytes, or None when native is off."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    v = np.ascontiguousarray(v)
+    n = len(v)
+    out = np.empty(16 * n + 64, dtype=np.uint8)
+    counts = np.zeros(4, dtype=np.int64)
+    out_len = cdll.rlev2_encode(v.ctypes.data, n, 1 if signed else 0,
+                                out.ctypes.data, counts.ctypes.data)
+    if info is not None:
+        for name, c in zip(_RLE_SUB_NAMES, counts.tolist()):
+            if c:
+                info[name] = info.get(name, 0) + c
+    return out[:out_len].tobytes()
+
+
+def _compile_args(ct):
+    """Flatten a CompiledTable into the contiguous arrays the C matcher
+    takes (built once per table, cached on the table)."""
+    by_len: dict[int, list] = {}
+    for c, s in enumerate(ct.table):
+        if len(s) >= 2:
+            by_len.setdefault(len(s), []).append((c, s))
+    class_len = np.array(ct.classes, dtype=np.int32)
+    keys_l: list[int] = []
+    codes_l: list[int] = []
+    offs = [0]
+    for L in ct.classes:
+        for c, s in by_len[L]:
+            keys_l.append(int.from_bytes(bytes(s), "big"))
+            codes_l.append(c)
+        offs.append(len(keys_l))
+    sym_len = np.zeros(256, dtype=np.uint8)
+    for c, s in enumerate(ct.table):
+        sym_len[c] = len(s)
+    return (len(ct.classes), class_len,
+            np.array(offs, dtype=np.int32),
+            np.array(keys_l, dtype=np.uint64),
+            np.array(codes_l, dtype=np.int16),
+            np.ascontiguousarray(ct.single_map),
+            sym_len,
+            np.ascontiguousarray(ct.lut16))

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from goorc_spark.codecs import _native
+
 ESCAPE = 255
 MAX_SYMBOLS = 254
 MAX_MULTI = 200  # multi-byte symbols; the rest of the code space = single bytes
@@ -228,7 +230,7 @@ class CompiledTable:
     compress(compiled))."""
 
     __slots__ = ("table", "header", "single_map", "classes", "lut16",
-                 "lut16b", "member", "code_lut2", "has_multi")
+                 "lut16b", "member", "code_lut2", "has_multi", "nat_args")
 
     def __init__(self, table: list[bytes]):
         self.table = list(table)
@@ -344,6 +346,12 @@ def compress(data: bytes,
     n = len(arr)
     if n == 0:
         return ct.header + (0).to_bytes(4, "little")
+
+    # C fast path (byte-identical tokenize+emit; tests/test_native.py pins
+    # equality against the numpy path below on fuzz + transcript inputs)
+    payload = _native.fsst_compress(ct, arr)
+    if payload is not None:
+        return ct.header + len(payload).to_bytes(4, "little") + payload
 
     taken = np.zeros(n, dtype=bool)
     code_at = np.full(n, -1, dtype=np.int16)  # symbol code starting here

@@ -23,7 +23,7 @@ import bisect
 
 import numpy as np
 
-from goorc_spark.codecs import bitpack
+from goorc_spark.codecs import _native, bitpack
 from goorc_spark.codecs.primitives import (
     bits_required_fast,
     closest_width,
@@ -66,6 +66,11 @@ def encode(values, signed: bool = True, info: dict | None = None) -> bytes:
         v = np.asarray(values, dtype=np.int64)
     else:
         v = np.asarray(values, dtype=np.uint64)
+    # C fast path (byte-identical chooser + writers; tests/test_native.py
+    # pins equality against the numpy path below on fuzz + goorc vectors)
+    nat = _native.rlev2_encode(v, signed, info)
+    if nat is not None:
+        return nat
     out = bytearray()
     n = len(v)
     # whole-vector precomputes hoisted out of the per-block loop (the loop

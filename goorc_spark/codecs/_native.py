@@ -50,7 +50,7 @@ static inline uint64_t load_be8(const uint8_t *p) {
    `data` must be padded with >= 8 zero bytes past `n`. Returns the
    number of output bytes written to `out` (capacity >= 2n). */
 int64_t fsst_compress(const uint8_t *data, int64_t n,
-                      const uint8_t *lut16,
+                      const uint8_t *lut16, const uint8_t *lut16b,
                       int32_t n_classes, const int32_t *class_len,
                       const int32_t *class_off,
                       const uint64_t *keys, const int16_t *codes,
@@ -59,6 +59,19 @@ int64_t fsst_compress(const uint8_t *data, int64_t n,
 {
     memset(taken, 0, (size_t)n);
     memset(code_at, 0xFF, (size_t)n * 2);
+
+    /* one combined-prefilter pass: mask[i] = classes whose 2-byte prefix
+       AND bytes-2-3 constraint both admit position i (lut16b is exact for
+       the match decision: an exact L-byte hit implies both bits are set,
+       so filtered positions could never probe successfully). Reuses the
+       head of `out`, which is dead until the emit loop. Gathering the two
+       64 KB LUTs once here beats one gather per class per position. */
+    uint8_t *mask = out;
+    for (int64_t i = 0; i + 1 < n; i++) {
+        uint16_t pre = ((uint16_t)data[i] << 8) | data[i + 1];
+        uint16_t suf = ((uint16_t)data[i + 2] << 8) | data[i + 3];
+        mask[i] = lut16[pre] & lut16b[suf];
+    }
 
     uint64_t ht_key[HT_SIZE];
     int16_t ht_code[HT_SIZE];
@@ -82,8 +95,7 @@ int64_t fsst_compress(const uint8_t *data, int64_t n,
         for (int64_t i = 0; i <= limit; ) {
             if (taken[i]) { i++; continue; }  /* spans are <= 8 bytes:
                                                  memchr skipping measured slower */
-            uint16_t pre = ((uint16_t)data[i] << 8) | data[i + 1];
-            if (!(lut16[pre] & bit)) { i++; continue; }
+            if (!(mask[i] & bit)) { i++; continue; }
             uint64_t key = load_be8(data + i) >> sh;
             uint64_t h = (key * MULT) >> (64 - HT_BITS);
             int16_t code = -1;
@@ -116,6 +128,18 @@ int64_t fsst_compress(const uint8_t *data, int64_t n,
         }
     }
     return o;
+}
+
+/* ORC timestamp nanos: strip >=2 trailing decimal zeros, store zeros-1
+   in the 3 low bits (exact port of timestamps.pack_nanos). */
+void pack_nanos(const uint64_t *nanos, int64_t count, uint64_t *out)
+{
+    for (int64_t i = 0; i < count; i++) {
+        uint64_t v = nanos[i], w = v;
+        int z = 0;
+        while (z < 8 && w != 0 && w % 10 == 0) { w /= 10; z++; }
+        out[i] = z >= 2 ? (w << 3) | (uint64_t)(z - 1) : v << 3;
+    }
 }
 
 /* ------------------------------------------------------------------ *
@@ -359,7 +383,8 @@ static int64_t try_patched(uint8_t *out, int64_t o, const uint64_t *block,
     uint64_t entries[40];
     for (int i = 0; i < patches_n; i++)
         entries[i] = ((uint64_t)gaps[i] << pw) | patches[i];
-    return put_packed(out, o, entries, patches_n, pgw + pw);
+    /* ORC spec: patch entries pack at getClosestFixedBits(pgw+pw) */
+    return put_packed(out, o, entries, patches_n, closest_width(pgw + pw));
 }
 
 int64_t rlev2_encode(const uint64_t *v, int64_t n, int32_t signed_flag,
@@ -609,6 +634,7 @@ def lib():
             fn = cdll.fsst_compress
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                           ctypes.c_void_p,
                            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
                            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -617,6 +643,9 @@ def lib():
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                            ctypes.c_void_p, ctypes.c_void_p]
+            fn = cdll.pack_nanos
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
             handle = cdll
     except Exception:
         handle = None
@@ -642,14 +671,25 @@ def fsst_compress(ct, arr: np.ndarray) -> bytes | None:
     code_at = np.empty(n, dtype=np.int16)
     out = np.empty(2 * n + 16, dtype=np.uint8)
     (n_classes, class_len, class_off, keys, codes, single_map, sym_len,
-     lut16) = args
+     lut16, lut16b) = args
     out_len = cdll.fsst_compress(
-        padded.ctypes.data, n, lut16.ctypes.data,
+        padded.ctypes.data, n, lut16.ctypes.data, lut16b.ctypes.data,
         n_classes, class_len.ctypes.data, class_off.ctypes.data,
         keys.ctypes.data, codes.ctypes.data, single_map.ctypes.data,
         sym_len.ctypes.data, taken.ctypes.data, code_at.ctypes.data,
         out.ctypes.data)
     return out[:out_len].tobytes()
+
+
+def pack_nanos(nanos: np.ndarray) -> np.ndarray | None:
+    """Native twin of timestamps.pack_nanos; None when native is off."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    n = np.ascontiguousarray(np.asarray(nanos, dtype=np.uint64))
+    out = np.empty(len(n), dtype=np.uint64)
+    cdll.pack_nanos(n.ctypes.data, len(n), out.ctypes.data)
+    return out
 
 
 _RLE_SUB_NAMES = ("short_repeat", "direct", "patched_base", "delta")
@@ -699,4 +739,5 @@ def _compile_args(ct):
             np.array(codes_l, dtype=np.int16),
             np.ascontiguousarray(ct.single_map),
             sym_len,
-            np.ascontiguousarray(ct.lut16))
+            np.ascontiguousarray(ct.lut16),
+            np.ascontiguousarray(ct.lut16b))

@@ -391,8 +391,13 @@ def _try_patched_base_small(out: bytearray, vs: list) -> bool:
         base_bytes[0] |= 0x80
     out += base_bytes
     out += _pack_ints(diff, w90)
+    # patch entries pack at closest_width(pgw+pw), NOT raw pgw+pw: the ORC
+    # spec (and the Java/C++ readers) use getClosestFixedBits here. The
+    # reference writes/reads raw (int.go:271,856) — mirroring it made our
+    # files self-consistent but unreadable by pyarrow whenever pgw+pw is
+    # an unaligned width >24 (hypothesis-found; pinned in test_property).
     out += _pack_ints([(g << pw) | p for g, p in zip(gaps, patches)],
-                      pgw + pw)
+                      closest_width(pgw + pw))
     return True
 
 
@@ -449,11 +454,12 @@ def _try_patched_base(out: bytearray, block) -> bool:
     # data at w90 (truncated low bits)
     mask = np.uint64((1 << w90) - 1) if w90 < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
     out += bitpack.pack(diff & mask, w90)
-    # patch blob at exactly pgw+pw bits per entry
+    # patch blob at closest_width(pgw+pw) bits per entry (ORC spec
+    # getClosestFixedBits — see the note in _try_patched_base_small)
     entries = (np.array(gaps, dtype=np.uint64) << np.uint64(pw)) | np.array(
         patches, dtype=np.uint64
     )
-    out += bitpack.pack(entries, pgw + pw)
+    out += bitpack.pack(entries, closest_width(pgw + pw))
     return True
 
 
@@ -539,8 +545,12 @@ def _dec_patched(buf, off, out, got):
     nbytes = bitpack.packed_size(n, w)
     diff = bitpack.unpack(buf[p : p + nbytes], w, n)
     p += nbytes
-    ebytes = bitpack.packed_size(pll, pgw + pw)
-    entries = bitpack.unpack(buf[p : p + ebytes], pgw + pw, pll)
+    # ORC spec: patch entries are packed at getClosestFixedBits(pgw+pw)
+    # (matches the Java/C++ writers; the Go reference reads raw pgw+pw,
+    # which misreads spec files whenever the sum is unaligned and >24)
+    cw = closest_width(pgw + pw)
+    ebytes = bitpack.packed_size(pll, cw)
+    entries = bitpack.unpack(buf[p : p + ebytes], cw, pll)
     p += ebytes
     idx = 0
     pmask = np.uint64((1 << pw) - 1)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from goorc_spark.codecs import _native
+
 # seconds between 1970-01-01 and 2015-01-01 UTC
 EPOCH_2015_S = 1420070400
 
@@ -22,6 +24,9 @@ EPOCH_2015_S = 1420070400
 def pack_nanos(nanos: np.ndarray) -> np.ndarray:
     """Encode nanosecond counts [0, 1e9): strip trailing decimal zeros when
     there are >=2, storing (zeros-1) in the 3 low bits."""
+    nat = _native.pack_nanos(nanos)
+    if nat is not None:
+        return nat
     n = np.asarray(nanos, dtype=np.uint64)
     out = n << np.uint64(3)
     work = n.copy()

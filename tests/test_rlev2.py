@@ -235,3 +235,30 @@ def test_patched_base_wide_patch_entry_falls_back():
     v = np.array([0, 0, 1 << 57, 1, 0, 2, 1, 0, 3, 1, 2, 0], dtype=np.int64)
     rt(v)
     rt(np.array([0, 0, 2_658_455_991_569_831_727 % (1 << 62)], dtype=np.int64))
+
+
+def test_patched_base_unaligned_entry_width_cross_reader():
+    """pgw+pw unaligned and >24 (here 2+32=34): the ORC spec packs patch
+    entries at getClosestFixedBits(pgw+pw)=40 — the Java/C++ readers read
+    that width. The Go reference writes/reads raw 34 bits (int.go:271,856);
+    mirroring it made pyarrow silently drop the patch (decoded 0 instead of
+    2^31). Hypothesis found the shape in round 6; spec behavior is pinned
+    here both ways."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from goorc_spark import orc_native as on
+
+    vals = [0, 0, 1, 2147483648, 0, 0, 0, 0, 0, 0]
+    enc = rlev2.encode(np.array(vals, dtype=np.int64), signed=True)
+    assert (enc[0] >> 6) == 2  # PATCHED_BASE chosen
+    # entry packs at 40 bits: 0x03 40 00 00 00 (gap=3, patch=2^30)
+    assert enc.endswith(bytes([0x03, 0x40, 0x00, 0x00, 0x00]))
+    np.testing.assert_array_equal(rlev2.decode(enc, 10, signed=True),
+                                  np.array(vals, dtype=np.int64))
+    # pyarrow's C++ ORC reader must agree with our writer
+    t = pa.table({"i": pa.array(vals, pa.int64())})
+    data = on.write_orc(t, compression="none", stripe_rows=10)
+    assert po.read_table(io.BytesIO(data))["i"].to_pylist() == vals

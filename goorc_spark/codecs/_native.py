@@ -130,6 +130,31 @@ int64_t fsst_compress(const uint8_t *data, int64_t n,
     return o;
 }
 
+/* FSST decompress: sequential token scan (exactly the numpy escape-parity
+   + padded-scatter semantics for well-formed blobs: 0xff is the escape,
+   symbol codes are < nsym <= 254). `out` needs capacity enc_len*8 + 8
+   (every token emits <= 8 bytes via one padded store). Returns bytes
+   written. */
+int64_t fsst_decompress(const uint8_t *codes, int64_t enc_len,
+                        const uint8_t *sym_pad /* 256*8, row-major */,
+                        const uint8_t *sym_len /* 256 */,
+                        uint8_t *out)
+{
+    int64_t o = 0;
+    for (int64_t i = 0; i < enc_len; ) {
+        uint8_t c = codes[i];
+        if (c == 255) {
+            out[o++] = i + 1 < enc_len ? codes[i + 1] : 0;
+            i += 2;
+        } else {
+            memcpy(out + o, sym_pad + ((size_t)c << 3), 8);
+            o += sym_len[c];
+            i++;
+        }
+    }
+    return o;
+}
+
 /* ORC timestamp nanos: strip >=2 trailing decimal zeros, store zeros-1
    in the 3 low bits (exact port of timestamps.pack_nanos). */
 void pack_nanos(const uint64_t *nanos, int64_t count, uint64_t *out)
@@ -387,6 +412,169 @@ static int64_t try_patched(uint8_t *out, int64_t o, const uint64_t *block,
     return put_packed(out, o, entries, patches_n, closest_width(pgw + pw));
 }
 
+/* ---------------------------------------------------------------- *
+ * RLEv2 decoder — exact port of rlev2._decode_runs. Returns the
+ * number of values decoded, or -1 on any bounds problem (the caller
+ * falls back to the numpy path, which raises the proper error).
+ * ---------------------------------------------------------------- */
+
+static const int CODE_W[32] = {1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,
+                               19,20,21,22,23,24,26,28,30,32,40,48,56,64};
+
+static int64_t read_bits_n(const uint8_t *buf, int64_t buflen, int64_t off,
+                           uint64_t *dst, int64_t n, int w)
+{
+    int64_t need = (n * w + 7) / 8;
+    if (off + need > buflen) return -1;
+    unsigned __int128 acc = 0;
+    int bits = 0;
+    int64_t p = off;
+    uint64_t mask = w < 64 ? ((1ULL << w) - 1) : ~0ULL;
+    for (int64_t i = 0; i < n; i++) {
+        while (bits < w) { acc = (acc << 8) | buf[p++]; bits += 8; }
+        dst[i] = (uint64_t)(acc >> (bits - w)) & mask;
+        bits -= w;
+    }
+    return off + need;
+}
+
+static int64_t read_uvarint(const uint8_t *buf, int64_t buflen, int64_t off,
+                            uint64_t *val)
+{
+    uint64_t v = 0;
+    int shift = 0;
+    while (1) {
+        if (off >= buflen || shift > 63) return -1;
+        uint8_t b = buf[off++];
+        v |= (uint64_t)(b & 0x7F) << shift;
+        if (!(b & 0x80)) break;
+        shift += 7;
+    }
+    *val = v;
+    return off;
+}
+
+int64_t rlev2_decode(const uint8_t *buf, int64_t buflen, int64_t count,
+                     int64_t capacity, int32_t signed_flag, uint64_t *out)
+{
+    int64_t got = 0, off = 0;
+    uint64_t lits[MAX_RUN];
+    while (got < count) {
+        if (off >= buflen) return -1;
+        uint8_t h = buf[off];
+        int enc = h >> 6;
+        if (enc == E_SHORT_REPEAT) {
+            int nbytes = ((h >> 3) & 0x7) + 1;
+            int rep = (h & 0x7) + MIN_REPEAT;
+            if (off + 1 + nbytes > buflen || got + rep > capacity) return -1;
+            uint64_t u = 0;
+            for (int b = 0; b < nbytes; b++)
+                u = (u << 8) | buf[off + 1 + b];
+            uint64_t v = signed_flag
+                ? (u >> 1) ^ (uint64_t)(-(int64_t)(u & 1)) : u;
+            for (int i = 0; i < rep; i++) out[got + i] = v;
+            off += 1 + nbytes;
+            got += rep;
+        } else if (enc == E_DIRECT) {
+            if (off + 2 > buflen) return -1;
+            int w = CODE_W[(h >> 1) & 0x1F];
+            int n = (((h & 1) << 8) | buf[off + 1]) + 1;
+            if (got + n > capacity) return -1;
+            off = read_bits_n(buf, buflen, off + 2, lits, n, w);
+            if (off < 0) return -1;
+            if (signed_flag)
+                for (int i = 0; i < n; i++)
+                    out[got + i] = (lits[i] >> 1)
+                        ^ (uint64_t)(-(int64_t)(lits[i] & 1));
+            else
+                for (int i = 0; i < n; i++) out[got + i] = lits[i];
+            got += n;
+        } else if (enc == E_PATCHED) {
+            if (off + 4 > buflen) return -1;
+            int w = CODE_W[(h >> 1) & 0x1F];
+            int n = (((h & 1) << 8) | buf[off + 1]) + 1;
+            int b3 = buf[off + 2], b4 = buf[off + 3];
+            int bw = ((b3 >> 5) & 0x7) + 1;
+            int pw = CODE_W[b3 & 0x1F];
+            int pgw = ((b4 >> 5) & 0x7) + 1;
+            int pll = b4 & 0x1F;
+            if (got + n > capacity) return -1;
+            int64_t p = off + 4;
+            if (p + bw > buflen) return -1;
+            uint64_t raw = 0;
+            for (int b = 0; b < bw; b++) raw = (raw << 8) | buf[p + b];
+            int64_t base;
+            if (raw >> (8 * bw - 1))
+                base = -(int64_t)(raw & ~(0x80ULL << (8 * (bw - 1))));
+            else
+                base = (int64_t)raw;
+            p += bw;
+            p = read_bits_n(buf, buflen, p, lits, n, w);
+            if (p < 0) return -1;
+            int cw = closest_width(pgw + pw);
+            uint64_t entries[32];
+            p = read_bits_n(buf, buflen, p, entries, pll, cw);
+            if (p < 0) return -1;
+            int64_t idx = 0;
+            uint64_t pmask = pw < 64 ? ((1ULL << pw) - 1) : ~0ULL;
+            for (int e = 0; e < pll; e++) {
+                uint64_t gap = entries[e] >> pw;
+                uint64_t patch = entries[e] & pmask;
+                idx += (int64_t)gap;
+                if (patch) {
+                    if (idx < 0 || idx >= n) return -1;
+                    lits[idx] |= patch << w;
+                }
+            }
+            for (int i = 0; i < n; i++)
+                out[got + i] = (uint64_t)((int64_t)lits[i] + base);
+            off = p;
+            got += n;
+        } else { /* DELTA */
+            if (off + 2 > buflen) return -1;
+            int wc = (h >> 1) & 0x1F;
+            int w = wc == 0 ? 0 : CODE_W[wc];
+            int n = (((h & 1) << 8) | buf[off + 1]) + 1;
+            if (got + n > capacity) return -1;
+            int64_t p = off + 2;
+            uint64_t ub;
+            p = read_uvarint(buf, buflen, p, &ub);
+            if (p < 0) return -1;
+            int64_t base = signed_flag
+                ? (int64_t)((ub >> 1) ^ (uint64_t)(-(int64_t)(ub & 1)))
+                : (int64_t)ub;  /* >=2^63 wraps through int64, as numpy */
+            uint64_t ud;
+            p = read_uvarint(buf, buflen, p, &ud);
+            if (p < 0) return -1;
+            int64_t delta = (int64_t)((ud >> 1)
+                                      ^ (uint64_t)(-(int64_t)(ud & 1)));
+            if (w == 0) {
+                for (int i = 0; i < n; i++)
+                    out[got + i] = (uint64_t)(base + delta * (int64_t)i);
+            } else {
+                int nlits = n - 2;
+                if (nlits < 0) return -1;
+                p = read_bits_n(buf, buflen, p, lits, nlits, w);
+                if (p < 0) return -1;
+                int64_t acc = base;
+                out[got] = (uint64_t)acc;
+                if (n > 1) {
+                    acc += delta;
+                    out[got + 1] = (uint64_t)acc;
+                    int64_t sign = delta < 0 ? -1 : 1;
+                    for (int i = 0; i < nlits; i++) {
+                        acc += sign * (int64_t)lits[i];
+                        out[got + 2 + i] = (uint64_t)acc;
+                    }
+                }
+            }
+            off = p;
+            got += n;
+        }
+    }
+    return got;
+}
+
 int64_t rlev2_encode(const uint64_t *v, int64_t n, int32_t signed_flag,
                      uint8_t *out, int64_t *counts)
 {
@@ -598,8 +786,8 @@ def _build(so_path: str) -> None:
         for cc in _CC_CANDIDATES:
             try:
                 r = subprocess.run(
-                    [cc, "-O3", "-fPIC", "-shared", "-o", tmp_so, c_path,
-                     "-lm"],
+                    [cc, "-O3", "-fwrapv", "-fPIC", "-shared", "-o", tmp_so,
+                     c_path, "-lm"],
                     capture_output=True, timeout=120)
                 if r.returncode == 0:
                     os.replace(tmp_so, so_path)
@@ -646,6 +834,14 @@ def lib():
             fn = cdll.pack_nanos
             fn.restype = None
             fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            fn = cdll.rlev2_decode
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                           ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+            fn = cdll.fsst_decompress
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                           ctypes.c_void_p, ctypes.c_void_p]
             handle = cdll
     except Exception:
         handle = None
@@ -690,6 +886,38 @@ def pack_nanos(nanos: np.ndarray) -> np.ndarray | None:
     out = np.empty(len(n), dtype=np.uint64)
     cdll.pack_nanos(n.ctypes.data, len(n), out.ctypes.data)
     return out
+
+
+def rlev2_decode(data, count: int, signed: bool, slack: int):
+    """Native twin of rlev2._decode_runs. Returns (values, got) or None
+    when native is off or the stream needs the numpy path's error
+    reporting."""
+    cdll = lib()
+    if cdll is None or count == 0:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(count + slack, dtype=np.int64 if signed else np.uint64)
+    got = cdll.rlev2_decode(buf.ctypes.data, len(buf), count,
+                            len(out), 1 if signed else 0, out.ctypes.data)
+    if got < 0:
+        return None
+    return out, int(got)
+
+
+def fsst_decompress(codes: np.ndarray, sym_pad: np.ndarray,
+                    sym_len: np.ndarray) -> bytes | None:
+    """Native twin of the fsst.decompress token scan. `codes` is the encoded
+    byte stream, `sym_pad` the 256x8 zero-padded symbol matrix, `sym_len`
+    the 256-entry length LUT. Returns the decompressed bytes or None."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    codes = np.ascontiguousarray(codes)
+    out = np.empty(len(codes) * 8 + 8, dtype=np.uint8)
+    n = cdll.fsst_decompress(codes.ctypes.data, len(codes),
+                             sym_pad.ctypes.data, sym_len.ctypes.data,
+                             out.ctypes.data)
+    return out[:n].tobytes()
 
 
 _RLE_SUB_NAMES = ("short_repeat", "direct", "patched_base", "delta")

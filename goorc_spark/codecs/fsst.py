@@ -402,6 +402,20 @@ def decompress(blob: bytes) -> bytes:
     codes = np.frombuffer(mv[p : p + enc_len], dtype=np.uint8)
     if enc_len == 0:
         return b""
+    # padded-symbol matrix: row c = symbol c zero-padded to 8 bytes (used
+    # by both the native token scan and the numpy scatter below)
+    sym_pad = np.zeros((256, 8), dtype=np.uint8)
+    pos = 0
+    for c in range(int(nsym)):
+        length = int(lens[c])
+        sym_pad[c, :length] = symdata[pos:pos + length]
+        pos += length
+    sym_len8 = np.zeros(256, dtype=np.uint8)
+    sym_len8[:nsym] = lens
+    # C fast path (byte-identical sequential token scan)
+    nat = _native.fsst_decompress(codes, sym_pad, sym_len8)
+    if nat is not None:
+        return nat
     # 256-entry length LUT indexed directly by code byte: no escape guards
     len_lut = np.zeros(256, dtype=np.int32)
     len_lut[:nsym] = lens
@@ -434,12 +448,6 @@ def decompress(blob: bytes) -> bytes:
     # writes last. 8 deterministic full-token passes replace the per-length-
     # class sub-scatters (fewer, larger kernels; ~15% faster decompress).
     out = np.empty(total + 8, dtype=np.uint8)
-    sym_pad = np.zeros((256, 8), dtype=np.uint8)
-    pos = 0
-    for c in range(int(nsym)):
-        length = int(lens[c])
-        sym_pad[c, :length] = symdata[pos:pos + length]
-        pos += length
     sym_t = np.ascontiguousarray(sym_pad.T)  # row j = byte j of every code
     idx = offsets + 7
     for j in range(7, -1, -1):

@@ -491,6 +491,11 @@ MAX_RUN = 512
 
 
 def _decode_runs(data, count: int, signed: bool, slack: int):
+    # C fast path (value-identical; returns None on truncated/odd streams
+    # so the numpy path below reports the proper error)
+    nat = _native.rlev2_decode(data, count, signed, slack)
+    if nat is not None:
+        return nat
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty(count + slack, dtype=np.int64 if signed else np.uint64)
     got = 0

@@ -139,3 +139,51 @@ def test_numpy_fallback_still_works():
         enc = rlev2.encode([1, 2, 3, 4, 5, 100, 7], True)
         assert (rlev2.decode(enc, 7, True)
                 == np.array([1, 2, 3, 4, 5, 100, 7])).all()
+
+
+def test_rlev2_native_decode_matches_numpy():
+    rng = random.Random(31)
+    for i in range(40):
+        n = rng.randrange(1, 2000)
+        style = i % 4
+        if style == 0:
+            vals = [rng.randrange(-2**63, 2**63) for _ in range(n)]
+        elif style == 1:
+            vals = sorted(rng.randrange(0, 10**9) for _ in range(n))
+        elif style == 2:
+            vals = [rng.randrange(0, 256) for _ in range(n)]
+            for _ in range(min(5, n)):
+                vals[rng.randrange(n)] = rng.randrange(2**20, 2**45)
+        else:
+            vals = [rng.randrange(0, 2**64) for _ in range(n)]
+        signed = style != 3
+        enc = rlev2.encode(vals, signed)
+        a = rlev2.decode(enc, n, signed)
+        with numpy_only():
+            b = rlev2.decode(enc, n, signed)
+        assert (a == b).all(), f"decode case {i}"
+        k = rng.randrange(1, n + 1)
+        pa_ = rlev2.decode_prefix(enc, k, signed)
+        with numpy_only():
+            pb_ = rlev2.decode_prefix(enc, k, signed)
+        assert (pa_ == pb_).all(), f"decode_prefix case {i}"
+
+
+def test_rlev2_native_decode_truncated_falls_back_to_error():
+    enc = rlev2.encode(list(range(100)), True)
+    with pytest.raises(Exception):
+        rlev2.decode(enc[:-3], 100, True)
+
+
+def test_fsst_native_decompress_matches_numpy():
+    rng = random.Random(8)
+    cases = [b"", b"a", b"\xff" * 99, b"abcabc" * 3000]
+    for _ in range(20):
+        m = rng.randrange(1, 2000)
+        cases.append(bytes(rng.choice(b"abcde \xff") for _ in range(m)))
+    for i, data in enumerate(cases):
+        blob = fsst.compress(data)
+        a = fsst.decompress(blob)
+        with numpy_only():
+            b = fsst.decompress(blob)
+        assert a == b == data, f"fsst decompress case {i}"

@@ -416,17 +416,47 @@ def _skew_counts(df: DataFrame, cfg: EncodeConfig, mode: str) -> DataFrame:
     return df.groupBy(key).count().filter(F.col("count") > cfg.salt_threshold)
 
 
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
 def _with_salt(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     """Split mega-keys into deterministic buckets of bucket_rows using the
-    (monotone-per-key) first order column — no window, one cheap agg."""
+    (monotone-per-key) first order column.
+
+    'static' mode (the 'auto' resolution for INTEGRAL order columns):
+    salt = floor(order0 / bucket_rows) unconditionally — NO detection job.
+    A per-key 0-based row index (turn_idx) yields salt 0 for every key
+    smaller than bucket_rows and exactly the detection path's buckets for
+    mega keys, so the encode loses its per-call skew pre-pass (an extra
+    Spark job + collect: ~0.3 s fixed at bench scale, ~30 s EXACT-mode at
+    10^9 keys per SCALE.md) while placements stay identical for row-index
+    ordered data. Keys between bucket_rows and salt_threshold now split
+    at bucket boundaries — same stripes (the writer cuts by bytes first),
+    one extra partition spill per boundary. Non-integral order columns
+    (ts) keep the sampled/exact detection: bucketing a timestamp only
+    makes sense for keys already known to be mega, which is what the
+    detection pass established."""
     key = cfg.key_col
     if not key or not cfg.order_cols:
         return df.withColumn(SALT_COL, F.lit(0))
-    counts = _skew_counts(df, cfg, _skew_detection_mode(df, cfg))
+    order0 = cfg.order_cols[0]
+    mode = cfg.salt_detect
+    if mode == "auto":
+        if isinstance(df.schema[order0].dataType, _INTEGRAL_TYPES):
+            mode = "static"
+        else:
+            mode = _skew_detection_mode(df, cfg)
+    if mode == "static":
+        return df.withColumn(
+            SALT_COL,
+            F.coalesce(
+                F.floor(F.col(order0).cast("long")
+                        / F.lit(cfg.bucket_rows)).cast("int"),
+                F.lit(0)))
+    counts = _skew_counts(df, cfg, mode)
     skewed = [r[0] for r in counts.select(key).collect()]  # mega-keys only: tiny
     if not skewed:
         return df.withColumn(SALT_COL, F.lit(0))
-    order0 = cfg.order_cols[0]
     return df.withColumn(
         SALT_COL,
         F.when(

@@ -208,3 +208,55 @@ def test_spread_noop_when_wide(spark):
 # uses the session-scoped `spark` fixture from tests/conftest.py — a
 # module-local fixture calling stop() would kill the SHARED SparkContext
 # that getOrCreate() returns and break every later test module
+
+
+def test_static_salt_matches_detection_on_row_index_data(spark):
+    """'auto' resolves to the jobless static bucket salt for integral order
+    columns; stripes must be identical to the detection paths (same mega-
+    key buckets, salt 0 for every key smaller than bucket_rows)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from goorc_spark import engine, transcripts
+
+    df = transcripts.synthesize_spark(spark, n_convs=60,
+                                      mega_conv_turns=3_000).cache()
+    df.count()
+
+    def digest(mode):
+        cfg = engine.EncodeConfig(
+            key_col="conv_id", order_cols=("turn_idx",),
+            stripe_bytes=256 * 1024, partitions=4, run_id="x",
+            salt_threshold=2_000, bucket_rows=1_000, salt_detect=mode)
+        rows = engine.encode_df(df, cfg).select(
+            "part_id", "seq", "n_rows", "key_min", "key_max", "blob").collect()
+        h = hashlib.sha256()
+        for r in sorted(rows, key=lambda r: (r["part_id"], r["seq"])):
+            h.update(str((r["part_id"], r["seq"], r["n_rows"],
+                          r["key_min"], r["key_max"])).encode())
+            h.update(bytes(r["blob"]))
+        return h.hexdigest()
+
+    assert digest("static") == digest("exact") == digest("auto")
+    df.unpersist()
+
+
+def test_auto_salt_keeps_detection_for_timestamp_order(spark):
+    """Non-integral order0 (ts) must NOT bucket unconditionally — 'auto'
+    keeps the sampled/exact detection pre-pass there."""
+    from pyspark.sql import functions as F
+
+    from goorc_spark import engine
+
+    sdf = spark.range(100).select(
+        F.concat(F.lit("u"), (F.col("id") % 5).cast("string")).alias("uid"),
+        F.timestamp_seconds(F.col("id") + 1_700_000_000).alias("ts"),
+        F.col("id").alias("payload"))
+    cfg = engine.EncodeConfig(key_col="uid", order_cols=("ts",),
+                              salt_threshold=1_000_000, bucket_rows=500_000)
+    salted = engine._with_salt(sdf, cfg)
+    # detection found no mega keys -> all salt 0 (static would have
+    # bucketed by floor(epoch/bucket_rows) != 0)
+    vals = {r[0] for r in salted.select(engine.SALT_COL).distinct().collect()}
+    assert vals == {0}

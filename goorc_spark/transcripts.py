@@ -123,7 +123,7 @@ def transcripts_from_events(spark, sf_dir: str):
 
 
 def synthesize_spark(spark, n_convs: int = 40_000, seed: int = 42,
-                     mega_conv_turns: int = 0):
+                     mega_conv_turns: int = 0, rebalance: bool = True):
     """Deterministic, fully distributed transcripts generator — every column
     is a JVM-side expression over spark.range (xxhash64-driven pseudo-random),
     so synthesis itself scales with the cluster and the same (n_convs, seed)
@@ -180,12 +180,24 @@ def synthesize_spark(spark, n_convs: int = 40_000, seed: int = 42,
     ts = F.timestamp_micros(
         ((base_s + F.col("turn_idx") * slope) * F.lit(1_000_000) + micros)
         .cast("long"))
-    return df.select(
+    out = df.select(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),
         role.alias("role"), text.alias("text"), tool.alias("tool"),
         ts.alias("ts"),
     )
+    if rebalance:
+        # The explode makes partition sizes follow CONVERSATION boundaries:
+        # with a mega-conversation, one generator partition carries
+        # mega_conv_turns extra rows (~25% at the scaling-bench shape), and
+        # any map stage over the synthesized frame is bound by that one
+        # straggler task. Round-robin to defaultParallelism so a full scan
+        # is ONE wave of even tasks — scale-adaptive (derived from the
+        # cluster, not a constant) and value-deterministic (every column is
+        # a pure function of (cid, turn_idx), and downstream consumers
+        # re-sort or aggregate, so row placement is free).
+        out = out.repartition(spark.sparkContext.defaultParallelism)
+    return out
 
 
 # DuckDB twin of transcripts_from_events (the driver pre-registers `events`).

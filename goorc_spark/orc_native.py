@@ -1087,6 +1087,15 @@ def _arrow_type(types: list[dict], col: int) -> pa.DataType:
         return pa.struct([(n, _arrow_type(types, c))
                           for n, c in zip(t["field_names"], t["subtypes"])])
     if k == T_UNION:
+        if len(t["subtypes"]) > 127:
+            # ORC tags are unsigned bytes (up to 256 variants); the
+            # surfaced struct<tag:int8,...> contract documents tag == i
+            # filters, which would see negative tags for fields 128+.
+            # No known writer emits such files — refuse loudly rather
+            # than surface a silently broken contract (ADVICE r5).
+            raise NotImplementedError(
+                f"UNION with {len(t['subtypes'])} subtypes: the tagged-"
+                "struct surface uses int8 tags, valid for <=127 variants")
         return pa.struct([("tag", pa.int8())]
                          + [(f"field{i}", _arrow_type(types, c))
                             for i, c in enumerate(t["subtypes"])])

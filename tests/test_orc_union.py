@@ -303,3 +303,26 @@ def test_union_spark_jvm_cannot_native_reader_can(tmp_path, spark):
     assert df.schema["u"].dataType.typeName() == "struct"
     assert df.count() == 100
     assert df.filter("u.tag = 1").count() == 50
+
+
+def test_union_over_127_subtypes_refused():
+    """ORC tags are unsigned bytes (up to 256 variants) but the surfaced
+    struct uses int8 tags; >127 subtypes would make `tag == i` filters see
+    negative values for fields 128+, so the footer parse refuses loudly
+    (ADVICE r5) instead of surfacing a broken contract."""
+    import pytest
+
+    from goorc_spark import orc_native
+    from goorc_spark.orc_native import T_INT, T_STRUCT, T_UNION, _arrow_type
+
+    union = {"kind": T_UNION, "subtypes": list(range(2, 130)),
+             "field_names": []}
+    types = [{"kind": T_STRUCT, "subtypes": [1], "field_names": ["u"]},
+             union] + [{"kind": T_INT, "subtypes": [], "field_names": []}
+                       for _ in range(128)]
+    with pytest.raises(NotImplementedError, match="128 subtypes"):
+        _arrow_type(types, 1)
+    # at the boundary (127) the tagged-struct surface stays available
+    union["subtypes"] = list(range(2, 129))
+    t = _arrow_type(types, 1)
+    assert t.num_fields == 1 + 127
